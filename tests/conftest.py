@@ -1,0 +1,19 @@
+"""Test configuration: force a virtual 8-device CPU mesh so sharding and
+collective paths are exercised without a TPU pod (SURVEY.md §4: multi-chip
+tests via ``xla_force_host_platform_device_count``).
+
+Note: the environment's sitecustomize imports jax at interpreter startup and
+pins JAX_PLATFORMS=axon (single remote TPU), so we must override via
+``jax.config`` rather than env vars.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,97 @@
+"""NTT vs naive DFT and Pippenger MSM vs naive host sum (SURVEY.md §4)."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zkfhe_tpu.ops import curve as C
+from zkfhe_tpu.ops import field as F
+from zkfhe_tpu.ops import msm as M
+from zkfhe_tpu.ops import ntt as N
+
+random.seed(4)
+FR = F.FR
+
+
+def test_root_of_unity():
+    d = N.Domain.new(4)
+    assert pow(d.omega, 16, FR.p) == 1
+    assert pow(d.omega, 8, FR.p) != 1
+
+
+def test_ntt_matches_naive_dft():
+    k = 4
+    n = 1 << k
+    d = N.Domain.new(k)
+    coeffs = [random.randrange(FR.p) for _ in range(n)]
+    a = F.encode(FR, coeffs, mont=True)
+    evals = F.decode(FR, N.ntt(d, a), mont=True)
+    for i in [0, 1, 5, n - 1]:
+        x = pow(d.omega, i, FR.p)
+        want = sum(c * pow(x, j, FR.p) for j, c in enumerate(coeffs)) % FR.p
+        assert evals[i] == want
+
+
+def test_intt_roundtrip():
+    d = N.Domain.new(5)
+    coeffs = [random.randrange(FR.p) for _ in range(32)]
+    a = F.encode(FR, coeffs, mont=True)
+    back = F.decode(FR, N.intt(d, N.ntt(d, a)), mont=True)
+    assert back == coeffs
+
+
+def test_coset_roundtrip():
+    d = N.Domain.new(4)
+    g = 7
+    coeffs = [random.randrange(FR.p) for _ in range(16)]
+    a = F.encode(FR, coeffs, mont=True)
+    ev = N.coset_ntt(d, a, g)
+    # spot-check one coset evaluation
+    evals = F.decode(FR, ev, mont=True)
+    x = g * pow(d.omega, 3, FR.p) % FR.p
+    want = sum(c * pow(x, j, FR.p) for j, c in enumerate(coeffs)) % FR.p
+    assert evals[3] == want
+    back = F.decode(FR, N.coset_intt(d, ev, g), mont=True)
+    assert back == coeffs
+
+
+def test_poly_mul():
+    d = N.Domain.new(5)
+    fa = [random.randrange(1 << 29) for _ in range(16)]
+    fb = [random.randrange(1 << 29) for _ in range(16)]
+    a = F.encode(FR, fa + [0] * 16, mont=True)
+    b = F.encode(FR, fb + [0] * 16, mont=True)
+    got = F.decode(FR, N.poly_mul(d, a, b), mont=True)
+    want = [0] * 32
+    for i, x in enumerate(fa):
+        for j, y in enumerate(fb):
+            want[i + j] += x * y
+    assert got[:31] == [w for w in want[:31]]
+
+
+def test_signed_digits():
+    c = 8
+    xs = [0, 1, 255, 256, ((1 << 254) - 3) % FR.p, FR.p - 1]
+    s = jnp.asarray(F.encode(FR, xs))
+    d = np.asarray(M.signed_digits(s, c))  # (W, n)
+    for j, x in enumerate(xs):
+        val = sum(int(d[w, j]) * (1 << (c * w)) for w in range(d.shape[0]))
+        assert val == x, (j, x, val)
+        assert np.abs(d[:, j]).max(initial=0) <= 1 << (c - 1)
+
+
+def test_msm_small():
+    n, K = 13, 3
+    pts = [C.G1_GEN.mul(random.randrange(1, FR.p)) for _ in range(n)]
+    scalars = [[random.randrange(FR.p) for _ in range(n)] for _ in range(K)]
+    # include edge scalars
+    scalars[0][0] = 0
+    scalars[1][1] = FR.p - 1
+    P = C.encode_points(pts)
+    PX, PY = P[0], P[1]
+    sc = jnp.stack([jnp.asarray(F.encode(FR, row)) for row in scalars], axis=1)
+    out = M.msm((PX, PY), sc, c=8)
+    got = C.decode_points(out)
+    want = [M.msm_host(pts, row) for row in scalars]
+    assert got == want

@@ -1,0 +1,311 @@
+"""BN254 G1/G2 elliptic-curve arithmetic.
+
+Two layers:
+  * Host reference (`AffinePoint`, python ints) — exact ground truth for
+    tests, SRS generation bootstrap, and the (small) verifier-side math.
+  * Device layer — Jacobian points as limb arrays (`field.py` SoA layout,
+    Montgomery form of Fq), branchless complete add/double via selects,
+    vectorized over arbitrary batch shapes. These feed the Pippenger MSM
+    (ops/msm.py), the TPU equivalent of halo2-axiom's CPU MSM
+    (SURVEY.md §2.2 "KZG/SHPLONK + Pippenger MSM").
+
+Curve: y^2 = x^3 + 3 over Fq; G1 generator (1, 2).
+G2: y^2 = x^3 + 3/(9+u) over Fq2 = Fq[u]/(u^2+1) (host-side only; used by
+the pairing-based verifier in backend/pairing.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+from .field import FQ, FR
+
+B_COEFF = 3
+
+# BN254 G2 generator (standard constants).
+G2_X = (
+    10857046999023057135944570762232829481370756359578518086990519993285655852781,
+    11559732032986387107991004021392285783925812861821192530917403151452391805634,
+)
+G2_Y = (
+    8495653923123431417604973247489272438418190587263600148770280649306958101930,
+    4082367875863433681332203403145435568316851327593401208105741076214120093531,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host reference implementation (python ints, affine coordinates)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AffinePoint:
+    """G1 point in affine coordinates over Fq; None coords = infinity."""
+
+    x: int | None = None
+    y: int | None = None
+
+    @property
+    def infinity(self) -> bool:
+        return self.x is None
+
+    def on_curve(self) -> bool:
+        if self.infinity:
+            return True
+        p = FQ.p
+        return (self.y * self.y - self.x**3 - B_COEFF) % p == 0
+
+    def neg(self) -> "AffinePoint":
+        if self.infinity:
+            return self
+        return AffinePoint(self.x, (-self.y) % FQ.p)
+
+    def add(self, other: "AffinePoint") -> "AffinePoint":
+        p = FQ.p
+        if self.infinity:
+            return other
+        if other.infinity:
+            return self
+        if self.x == other.x:
+            if (self.y + other.y) % p == 0:
+                return AffinePoint()
+            lam = (3 * self.x * self.x) * pow(2 * self.y, p - 2, p) % p
+        else:
+            lam = (other.y - self.y) * pow(other.x - self.x, p - 2, p) % p
+        x3 = (lam * lam - self.x - other.x) % p
+        y3 = (lam * (self.x - x3) - self.y) % p
+        return AffinePoint(x3, y3)
+
+    def mul(self, k: int) -> "AffinePoint":
+        k %= FR.p
+        acc, base = AffinePoint(), self
+        while k:
+            if k & 1:
+                acc = acc.add(base)
+            base = base.add(base)
+            k >>= 1
+        return acc
+
+
+G1_GEN = AffinePoint(1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Device layer: Jacobian points, Montgomery-form Fq limbs
+# A point batch is a dict-free tuple (X, Y, Z), each (L, *batch) uint32.
+# Z == 0 encodes infinity.
+# ---------------------------------------------------------------------------
+
+def encode_points(pts: list[AffinePoint], mont: bool = True) -> tuple:
+    """Host: affine points -> device Jacobian arrays (X, Y, Z), (L, n)."""
+    xs, ys, zs = [], [], []
+    for pt in pts:
+        if pt.infinity:
+            xs.append(1)
+            ys.append(1)
+            zs.append(0)
+        else:
+            xs.append(pt.x)
+            ys.append(pt.y)
+            zs.append(1)
+    X = F.encode(FQ, xs, mont=mont)
+    Y = F.encode(FQ, ys, mont=mont)
+    Z = F.encode(FQ, zs, mont=mont)
+    return jnp.asarray(X), jnp.asarray(Y), jnp.asarray(Z)
+
+
+def decode_points(P, mont: bool = True) -> list[AffinePoint]:
+    """Host: device Jacobian arrays -> affine points (exact, python ints)."""
+    X, Y, Z = (np.asarray(c) for c in P)
+    xs = F.decode(FQ, X, mont=mont)
+    ys = F.decode(FQ, Y, mont=mont)
+    zs = F.decode(FQ, Z, mont=mont)
+    out = []
+    p = FQ.p
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(AffinePoint())
+        else:
+            zinv = pow(z, p - 2, p)
+            out.append(AffinePoint(x * zinv**2 % p, y * zinv**3 % p))
+    return out
+
+
+def infinity_like(shape=()) -> tuple:
+    """Device identity points of the given batch shape (Montgomery form)."""
+    one = F.const(FQ, FQ.to_mont_int(1), shape)
+    zero = F.zero(shape)
+    return one, one, zero
+
+
+def point_neg(P):
+    X, Y, Z = P
+    return X, F.sub(FQ, F.zero(Y.shape[1:]), Y), Z
+
+
+def point_double(P):
+    """Jacobian doubling (a=0 curve), branch-free. ~7 muls."""
+    X, Y, Z = P
+    f = FQ
+    A = F.mont_sqr(f, X)
+    Bs = F.mont_sqr(f, Y)
+    C = F.mont_sqr(f, Bs)
+    t = F.mont_sqr(f, F.add(f, X, Bs))
+    D = F.double(f, F.sub(f, F.sub(f, t, A), C))
+    E = F.add(f, F.double(f, A), A)  # 3A
+    Fv = F.mont_sqr(f, E)
+    X3 = F.sub(f, Fv, F.double(f, D))
+    eightC = F.double(f, F.double(f, F.double(f, C)))
+    Y3 = F.sub(f, F.mont_mul(f, E, F.sub(f, D, X3)), eightC)
+    Z3 = F.double(f, F.mont_mul(f, Y, Z))
+    return X3, Y3, Z3
+
+
+def point_add(P, Q):
+    """Complete Jacobian + Jacobian addition via selects (~16 muls).
+
+    Handles P=∞, Q=∞, P=Q (double), P=-Q (infinity) branchlessly so it is
+    safe inside vectorized MSM reductions.
+    """
+    f = FQ
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+
+    Z1Z1 = F.mont_sqr(f, Z1)
+    Z2Z2 = F.mont_sqr(f, Z2)
+    U1 = F.mont_mul(f, X1, Z2Z2)
+    U2 = F.mont_mul(f, X2, Z1Z1)
+    S1 = F.mont_mul(f, Y1, F.mont_mul(f, Z2, Z2Z2))
+    S2 = F.mont_mul(f, Y2, F.mont_mul(f, Z1, Z1Z1))
+    H = F.sub(f, U2, U1)
+    Rr = F.double(f, F.sub(f, S2, S1))
+
+    HH = F.mont_sqr(f, F.double(f, H))  # I = (2H)^2
+    J = F.mont_mul(f, H, HH)
+    V = F.mont_mul(f, U1, HH)
+    X3 = F.sub(f, F.sub(f, F.mont_sqr(f, Rr), J), F.double(f, V))
+    Y3 = F.sub(
+        f,
+        F.mont_mul(f, Rr, F.sub(f, V, X3)),
+        F.double(f, F.mont_mul(f, S1, J)),
+    )
+    Z3 = F.mont_mul(
+        f,
+        F.sub(f, F.sub(f, F.mont_sqr(f, F.add(f, Z1, Z2)), Z1Z1), Z2Z2),
+        H,
+    )
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(Z2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(Rr)
+    both_live = ~p_inf & ~q_inf
+    is_double = both_live & h_zero & r_zero  # same point
+    is_inf_out = both_live & h_zero & ~r_zero  # P = -Q
+
+    dX, dY, dZ = point_double(P)
+    iX, iY, iZ = infinity_like(X1.shape[1:])
+
+    X3 = F.select(q_inf, X1, F.select(p_inf, X2, X3))
+    Y3 = F.select(q_inf, Y1, F.select(p_inf, Y2, Y3))
+    Z3 = F.select(q_inf, Z1, F.select(p_inf, Z2, Z3))
+    X3 = F.select(is_double, dX, F.select(is_inf_out, iX, X3))
+    Y3 = F.select(is_double, dY, F.select(is_inf_out, iY, Y3))
+    Z3 = F.select(is_double, dZ, F.select(is_inf_out, iZ, Z3))
+    return X3, Y3, Z3
+
+
+def point_add_mixed(P, Q_aff):
+    """Jacobian + affine addition (~11 muls) with completeness selects.
+
+    Q_aff = (x, y, nz) where nz is a (L,*batch) encoding 1 for live points
+    and 0 for infinity (reuse of the Z slot as a validity flag).
+    """
+    f = FQ
+    X1, Y1, Z1 = P
+    X2, Y2, NZ2 = Q_aff
+
+    Z1Z1 = F.mont_sqr(f, Z1)
+    U2 = F.mont_mul(f, X2, Z1Z1)
+    S2 = F.mont_mul(f, Y2, F.mont_mul(f, Z1, Z1Z1))
+    H = F.sub(f, U2, X1)
+    HH = F.mont_sqr(f, H)
+    I = F.double(f, F.double(f, HH))
+    J = F.mont_mul(f, H, I)
+    Rr = F.double(f, F.sub(f, S2, Y1))
+    V = F.mont_mul(f, X1, I)
+    X3 = F.sub(f, F.sub(f, F.mont_sqr(f, Rr), J), F.double(f, V))
+    Y3 = F.sub(
+        f,
+        F.mont_mul(f, Rr, F.sub(f, V, X3)),
+        F.double(f, F.mont_mul(f, Y1, J)),
+    )
+    Z3 = F.sub(f, F.sub(f, F.mont_sqr(f, F.add(f, Z1, H)), Z1Z1), HH)
+
+    p_inf = F.is_zero(Z1)
+    q_inf = F.is_zero(NZ2)
+    h_zero = F.is_zero(H)
+    r_zero = F.is_zero(Rr)
+    both_live = ~p_inf & ~q_inf
+    is_double = both_live & h_zero & r_zero
+    is_inf_out = both_live & h_zero & ~r_zero
+
+    dX, dY, dZ = point_double(P)
+    iX, iY, iZ = infinity_like(X1.shape[1:])
+    one_m = F.const(FQ, FQ.to_mont_int(1), X1.shape[1:])
+
+    X3 = F.select(q_inf, X1, F.select(p_inf, X2, X3))
+    Y3 = F.select(q_inf, Y1, F.select(p_inf, Y2, Y3))
+    Z3 = F.select(q_inf, Z1, F.select(p_inf, one_m, Z3))
+    X3 = F.select(is_double, dX, F.select(is_inf_out, iX, X3))
+    Y3 = F.select(is_double, dY, F.select(is_inf_out, iY, Y3))
+    Z3 = F.select(is_double, dZ, F.select(is_inf_out, iZ, Z3))
+    return X3, Y3, Z3
+
+
+def scalar_mul(P, scalar_bits):
+    """Double-and-add ladder over a batch of points.
+
+    scalar_bits: (nbits, *batch) uint32 of {0,1}, LSB first. Vectorized:
+    each lane gets its own scalar. Runs nbits sequential steps (fori_loop).
+    """
+    nbits = scalar_bits.shape[0]
+    batch = P[0].shape[1:]
+
+    def body(i, state):
+        acc, base = state
+        bit = scalar_bits[i]
+        cand = point_add(acc, base)
+        acc = tuple(
+            F.select(bit.astype(jnp.bool_), c, a) for c, a in zip(cand, acc)
+        )
+        base = point_double(base)
+        return acc, base
+
+    acc0 = infinity_like(batch)
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (acc0, P))
+    return acc
+
+
+def tree_reduce_points(P):
+    """Sum a batch of Jacobian points along the LAST axis by pairwise tree
+    reduction (log2(n) levels of vectorized complete adds)."""
+    X, Y, Z = P
+    n = X.shape[-1]
+    while n > 1:
+        half = n // 2
+        even = (X[..., : 2 * half : 2], Y[..., : 2 * half : 2], Z[..., : 2 * half : 2])
+        odd = (X[..., 1: 2 * half: 2], Y[..., 1: 2 * half: 2], Z[..., 1: 2 * half: 2])
+        X2, Y2, Z2 = point_add(even, odd)
+        if n % 2:
+            X = jnp.concatenate([X2, X[..., -1:]], axis=-1)
+            Y = jnp.concatenate([Y2, Y[..., -1:]], axis=-1)
+            Z = jnp.concatenate([Z2, Z[..., -1:]], axis=-1)
+        else:
+            X, Y, Z = X2, Y2, Z2
+        n = X.shape[-1]
+    return X, Y, Z

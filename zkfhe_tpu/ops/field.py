@@ -1,0 +1,465 @@
+"""Vectorized big-prime-field arithmetic for TPU (JAX).
+
+Design (TPU-first, see SURVEY.md §7 step 1):
+  * A field element is ``L`` limbs of ``B`` bits stored in ``uint32``.
+    With B=13, L=20 (260 bits >= 254), every schoolbook partial product
+    fits in 26 bits and up to ~64 partial products can be accumulated in a
+    uint32 lane without overflow -- so the whole CIOS Montgomery multiply
+    runs on the VPU with no 64-bit integer support (TPU has none).
+  * Arrays are limb-major ("SoA"): shape ``(L, *batch)`` so the batch axis
+    is the fast (lane) axis. All ops are elementwise over the batch and
+    vectorize/fuse under jit.
+  * Heavy values live in Montgomery form (x*R mod p, R = 2^(B*L)) inside
+    kernels; the trace/transcript boundary uses standard form.
+
+The reference stack does 254-bit arithmetic on CPU bigints inside
+halo2-axiom (see /root/reference usage sites: src/poly_chip.rs:8
+``bigint_to_fe``/``fe_to_bigint``); this module is the TPU-native
+equivalent built from scratch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Limb parameters
+# ---------------------------------------------------------------------------
+LIMB_BITS = 13
+NLIMBS = 20
+LIMB_MASK = (1 << LIMB_BITS) - 1
+RADIX_BITS = LIMB_BITS * NLIMBS  # 260
+
+# Well-known BN254 moduli.
+BN254_FR = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+BN254_FQ = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+U32 = jnp.uint32
+
+
+def int_to_limbs(x: int, n: int = NLIMBS) -> np.ndarray:
+    """Host: python int -> (n,) uint32 limb array (little-endian, 13-bit)."""
+    assert x >= 0
+    out = np.zeros(n, dtype=np.uint32)
+    for i in range(n):
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+    assert x == 0, "value does not fit in limb array"
+    return out
+
+
+def limbs_to_int(limbs) -> int:
+    """Host: limb array (little-endian) -> python int."""
+    limbs = np.asarray(limbs)
+    x = 0
+    for i in range(limbs.shape[0] - 1, -1, -1):
+        x = (x << LIMB_BITS) | int(limbs[i])
+    return x
+
+
+def ints_to_array(xs: Sequence[int], n: int = NLIMBS) -> np.ndarray:
+    """Host: list of ints -> (n, len) uint32 SoA array."""
+    return np.stack([int_to_limbs(x, n) for x in xs], axis=-1)
+
+
+def array_to_ints(arr) -> list[int]:
+    arr = np.asarray(arr)
+    flat = arr.reshape(arr.shape[0], -1)
+    return [limbs_to_int(flat[:, j]) for j in range(flat.shape[1])]
+
+
+@dataclasses.dataclass(frozen=True)
+class Field:
+    """Static description of a prime field in 13-bit/20-limb form.
+
+    Hashable (all-python) so it can be a static argument under jit.
+    """
+
+    p: int
+    name: str = "F"
+
+    # -- derived host-side constants (computed lazily, cached) --------------
+    @functools.cached_property
+    def p_limbs(self) -> tuple[int, ...]:
+        return tuple(int(v) for v in int_to_limbs(self.p))
+
+    @functools.cached_property
+    def r(self) -> int:  # Montgomery R
+        return pow(2, RADIX_BITS, self.p)
+
+    @functools.cached_property
+    def r2(self) -> int:  # R^2 mod p
+        return pow(2, 2 * RADIX_BITS, self.p)
+
+    @functools.cached_property
+    def r_inv(self) -> int:
+        return pow(self.r, self.p - 2, self.p)
+
+    @functools.cached_property
+    def mu(self) -> int:  # -p^-1 mod 2^LIMB_BITS
+        inv = pow(self.p, -1, 1 << LIMB_BITS)
+        return (-inv) % (1 << LIMB_BITS)
+
+    @functools.cached_property
+    def inv_exp_bits(self) -> tuple[int, ...]:
+        """Bits of p-2, LSB first (for Fermat inversion ladder)."""
+        e = self.p - 2
+        return tuple((e >> i) & 1 for i in range(e.bit_length()))
+
+    def __hash__(self):
+        return hash((self.p, self.name))
+
+    # -- host helpers -------------------------------------------------------
+    def to_mont_int(self, x: int) -> int:
+        return (x * self.r) % self.p
+
+    def from_mont_int(self, x: int) -> int:
+        return (x * self.r_inv) % self.p
+
+
+FR = Field(BN254_FR, "Fr")
+FQ = Field(BN254_FQ, "Fq")
+
+
+# ---------------------------------------------------------------------------
+# Internal representation note:
+# Public API functions take/return stacked arrays of shape (NLIMBS, *batch).
+# Internally we unstack into python lists of (*batch,) arrays to keep XLA
+# graphs free of tiny dynamic slices; the loops below are static (L=20).
+# ---------------------------------------------------------------------------
+
+def _carry_chain(t):
+    """Propagate carries along axis 0 of a (L, *batch) uint32 array whose
+    limbs may exceed 2^LIMB_BITS. Sequential over limbs via lax.scan (the
+    dependence is inherent); tiny graph. Returns (normalized, final_carry)."""
+
+    def body(carry, v):
+        v = v + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    carry, out = jax.lax.scan(body, jnp.zeros_like(t[0]), t)
+    return out, carry
+
+
+def _sub_limbs(a, b):
+    """a - b with borrow chain along axis 0; returns (limbs, borrow) where
+    borrow==1 iff b > a. Inputs normalized."""
+
+    def body(borrow, xy):
+        x, y = xy
+        d = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
+        return jnp.uint32(1) - (d >> LIMB_BITS), d & LIMB_MASK
+
+    borrow, out = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+    return out, borrow
+
+
+def _pvec(field: Field, batch_ndim: int):
+    return jnp.asarray(field.p_limbs, dtype=U32).reshape(
+        (NLIMBS,) + (1,) * batch_ndim
+    )
+
+
+def _cond_sub_p(field: Field, t):
+    """If t >= p subtract p (single conditional subtract). t: (L,*batch)."""
+    p = jnp.broadcast_to(_pvec(field, t.ndim - 1), t.shape)
+    s, borrow = _sub_limbs(t, p)
+    keep = (borrow != 0)[None]  # borrow -> t < p -> keep t
+    return jnp.where(keep, t, s)
+
+
+def add(field: Field, a, b):
+    """(a + b) mod p. a, b: (L, *batch) uint32, reduced."""
+    s, _ = _carry_chain(a + b)
+    return _cond_sub_p(field, s)
+
+
+def sub(field: Field, a, b):
+    """(a - b) mod p."""
+    d, borrow = _sub_limbs(a, b)
+    withp, _ = _carry_chain(d + _pvec(field, a.ndim - 1))
+    return jnp.where((borrow != 0)[None], withp, d)
+
+
+def neg(field: Field, a):
+    return sub(field, jnp.zeros_like(a), a)
+
+
+def double(field: Field, a):
+    return add(field, a, a)
+
+
+def mont_mul(field: Field, a, b):
+    """Montgomery product a*b*R^-1 mod p. a, b: (L, *batch) uint32, < p.
+
+    Limb-axis-vectorized CIOS at radix 2^13. Overflow analysis (uint32):
+    schoolbook accumulators < 20*(2^13-1)^2 < 2^30.4; each reduction round
+    adds <= L products of < 2^26 plus a < 2^19 carry, peak < 2^31.8 < 2^32.
+    """
+    L = NLIMBS
+    batch = a.shape[1:]
+    mu = jnp.uint32(field.mu)
+    p_vec = _pvec(field, len(batch))
+
+    # schoolbook product into (2L, *batch): shifted copies summed as a tree
+    prods = a[:, None] * b[None, :]  # (L, L, *batch), each < 2^26
+    rows = [
+        jnp.pad(prods[i], [(i, L - 1 - i)] + [(0, 0)] * len(batch))
+        for i in range(L)
+    ]
+    t = jnp.sum(jnp.stack(rows), axis=0)  # (2L-1, *batch) < 2^30.4
+    t = jnp.pad(t, [(0, 1)] + [(0, 0)] * len(batch))  # (2L, *batch)
+
+    # interleaved Montgomery reduction: sequential over L rounds (inherent),
+    # each round vectorized over limbs. scan keeps the graph tiny.
+    def round_fn(t, k):
+        tk = jax.lax.dynamic_index_in_dim(t, k, axis=0, keepdims=False)
+        m = ((tk & LIMB_MASK) * mu) & LIMB_MASK
+        corr = m[None] * p_vec  # (L, *batch)
+        window = jax.lax.dynamic_slice_in_dim(t, k, L, axis=0) + corr
+        carry = (window[0]) >> LIMB_BITS
+        window = window.at[1].add(carry)
+        window = window.at[0].set(jnp.zeros_like(carry))
+        t = jax.lax.dynamic_update_slice_in_dim(t, window, k, axis=0)
+        return t, None
+
+    t, _ = jax.lax.scan(round_fn, t, jnp.arange(L, dtype=jnp.int32))
+
+    res, _ = _carry_chain(t[L:])
+    return _cond_sub_p(field, res)
+
+
+def mont_sqr(field: Field, a):
+    return mont_mul(field, a, a)
+
+
+def to_mont(field: Field, a):
+    """standard -> Montgomery form (multiply by R^2, mont-reduce)."""
+    r2 = _const(field, field.r2, a)
+    return mont_mul(field, a, r2)
+
+
+def from_mont(field: Field, a):
+    """Montgomery -> standard form (mont-multiply by 1)."""
+    one = _const(field, 1, a)
+    return mont_mul(field, a, one)
+
+
+def _const(field: Field, value: int, like):
+    """Broadcast a python-int constant to the batch shape of `like`."""
+    limbs = int_to_limbs(value % field.p)
+    batch = like.shape[1:]
+    return jnp.broadcast_to(
+        jnp.asarray(limbs, dtype=U32).reshape((NLIMBS,) + (1,) * len(batch)),
+        (NLIMBS,) + batch,
+    )
+
+
+def const(field: Field, value: int, batch_shape=()):
+    limbs = int_to_limbs(value % field.p)
+    return jnp.broadcast_to(
+        jnp.asarray(limbs, dtype=U32).reshape((NLIMBS,) + (1,) * len(batch_shape)),
+        (NLIMBS,) + tuple(batch_shape),
+    )
+
+
+def zero(batch_shape=()):
+    return jnp.zeros((NLIMBS,) + tuple(batch_shape), dtype=U32)
+
+
+def is_zero(a):
+    """Boolean mask over batch: a == 0 (limbwise)."""
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask, a, b):
+    """mask ? a : b, mask has batch shape."""
+    return jnp.where(mask[None], a, b)
+
+
+def mont_pow(field: Field, a, exp_bits):
+    """a^e in Montgomery form; exp_bits: (nbits,) uint32 array of bits, LSB
+    first (dynamic). Runs a fori_loop ladder: cheap graph, nbits iterations."""
+    one = to_mont(field, _const(field, 1, a))
+    nbits = exp_bits.shape[0]
+
+    def body(i, state):
+        acc, base = state
+        bit = exp_bits[i]
+        mul = mont_mul(field, acc, base)
+        acc = jnp.where(jnp.bool_(bit)[None], mul, acc)
+        base = mont_sqr(field, base)
+        return acc, base
+
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return acc
+
+
+def inv(field: Field, a):
+    """Fermat inverse in Montgomery form: a^(p-2). inv(0) = 0."""
+    bits = jnp.asarray(field.inv_exp_bits, dtype=U32)
+    out = mont_pow(field, a, bits)
+    return select(is_zero(a), zero(a.shape[1:]), out)
+
+
+def batch_inv(field: Field, a):
+    """Batched inversion (Montgomery form) along the LAST axis using the
+    Montgomery trick with log-depth associative scans: one real inversion
+    plus O(n log n) muls at O(log n) depth. Zeros map to zero.
+
+    inv(a_i) = (prod_{j<i} a_j) * (prod_{j>i} a_j) * inv(prod_all).
+    """
+    zmask = is_zero(a)
+    one_like = to_mont(field, _const(field, 1, a))
+    safe = select(zmask, one_like, a)
+
+    moved = jnp.moveaxis(safe, -1, 0)  # (n, L, *rest)
+    prefix = jax.lax.associative_scan(lambda x, y: _assoc_mul(field, x, y), moved)
+    suffix = jax.lax.associative_scan(
+        lambda x, y: _assoc_mul(field, x, y), moved, reverse=True
+    )
+
+    total = prefix[-1]  # (L, *rest)
+    total_inv = inv(field, total)
+
+    ones_row = jnp.moveaxis(one_like, -1, 0)[:1]  # (1, L, *rest)
+    excl_prefix = jnp.concatenate([ones_row, prefix[:-1]], axis=0)
+    excl_suffix = jnp.concatenate([suffix[1:], ones_row], axis=0)
+
+    around = _assoc_mul(field, excl_prefix, excl_suffix)  # (n, L, *rest)
+    total_inv_b = jnp.broadcast_to(total_inv[None], around.shape)
+    invs = _assoc_mul(field, around, total_inv_b)
+    invs = jnp.moveaxis(invs, 0, -1)
+    return select(zmask, zero(a.shape[1:]), invs)
+
+
+def _assoc_mul(field: Field, x, y):
+    """mont_mul with the limb axis at position 1 (for associative_scan)."""
+    xm = jnp.moveaxis(x, 1, 0)
+    ym = jnp.moveaxis(y, 1, 0)
+    return jnp.moveaxis(mont_mul(field, xm, ym), 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Plain multi-limb integer helpers (no modular reduction) — used for range
+# decompositions and witness div/mod on values far below p.
+# ---------------------------------------------------------------------------
+
+def mul_wide(a, b):
+    """Exact product of two (L,*batch) normalized limb arrays -> (2L,*batch)
+    normalized. Accumulators stay < 2^31 (see mont_mul analysis)."""
+    L = NLIMBS
+    batch = a.shape[1:]
+    prods = a[:, None] * b[None, :]
+    rows = [
+        jnp.pad(prods[i], [(i, L - 1 - i)] + [(0, 0)] * len(batch))
+        for i in range(L)
+    ]
+    t = jnp.sum(jnp.stack(rows), axis=0)
+    t = jnp.pad(t, [(0, 1)] + [(0, 0)] * len(batch))  # (2L,*batch)
+    out, carry = _carry_chain(t)
+    return out  # carry is 0: product < 2^520
+
+
+def shr_bits(a, s: int):
+    """Logical right shift of a normalized limb array by a STATIC amount."""
+    L = a.shape[0]
+    lo, off = s // LIMB_BITS, s % LIMB_BITS
+    shifted = jnp.concatenate(
+        [a[lo:], jnp.zeros((lo,) + a.shape[1:], dtype=a.dtype)], axis=0
+    )
+    if off:
+        nxt = jnp.concatenate(
+            [shifted[1:], jnp.zeros((1,) + a.shape[1:], dtype=a.dtype)], axis=0
+        )
+        shifted = ((shifted >> off) | (nxt << (LIMB_BITS - off))) & LIMB_MASK
+    return shifted
+
+
+def extract_bits(a, start: int, width: int):
+    """Bits [start, start+width) of a normalized (L,*batch) limb array as a
+    plain (*batch,) uint32 lane. width <= 13."""
+    assert width <= LIMB_BITS
+    lo, off = start // LIMB_BITS, start % LIMB_BITS
+    v = a[lo] >> off if lo < a.shape[0] else jnp.zeros(a.shape[1:], a.dtype)
+    if lo + 1 < a.shape[0] and off + width > LIMB_BITS:
+        v = v | (a[lo + 1] << (LIMB_BITS - off))
+    return v & ((1 << width) - 1)
+
+
+def from_u32(v, nlimbs: int = NLIMBS):
+    """(*batch,) uint32 values (< 2^26) -> (nlimbs,*batch) limb array."""
+    limbs = [v & LIMB_MASK, (v >> LIMB_BITS) & LIMB_MASK]
+    limbs += [jnp.zeros_like(v)] * (nlimbs - 2)
+    return jnp.stack(limbs, axis=0)
+
+
+def geq(a, b):
+    """a >= b over normalized limb arrays; (*batch,) bool."""
+    _, borrow = _sub_limbs(a, b)
+    return borrow == 0
+
+
+def sub_plain(a, b):
+    """a - b for a >= b (normalized limb arrays)."""
+    d, _ = _sub_limbs(a, b)
+    return d
+
+
+def divmod_const(a, m: int, num_bits: int):
+    """(a // m, a % m) for normalized (L,*batch) values a < 2^num_bits and a
+    STATIC modulus m. Barrett reduction entirely in 13-bit limbs (no 64-bit
+    integers): q_hat = (a * mu) >> s with mu = floor(2^s / m), then <= 2
+    correction subtractions."""
+    s = num_bits + 1
+    mu = (1 << s) // m
+    batch = a.shape[1:]
+    mu_arr = jnp.broadcast_to(
+        jnp.asarray(int_to_limbs(mu), dtype=U32).reshape(
+            (NLIMBS,) + (1,) * len(batch)
+        ),
+        a.shape,
+    )
+    m_arr = jnp.broadcast_to(
+        jnp.asarray(int_to_limbs(m), dtype=U32).reshape(
+            (NLIMBS,) + (1,) * len(batch)
+        ),
+        a.shape,
+    )
+    wide = mul_wide(a, mu_arr)  # (2L,*batch)
+    q = shr_bits(wide, s)[:NLIMBS]
+    qm = mul_wide(q, m_arr)[:NLIMBS]
+    r = sub_plain(a, qm)
+    for _ in range(2):  # Barrett correction
+        over = geq(r, m_arr)
+        r = jnp.where(over[None], sub_plain(r, m_arr), r)
+        qp, _ = _carry_chain(q.at[0].add(1))
+        q = jnp.where(over[None], qp, q)
+    return q, r
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact conversions for tests / io
+# ---------------------------------------------------------------------------
+
+def encode(field: Field, xs: Sequence[int], mont: bool = False) -> np.ndarray:
+    xs = [x % field.p for x in xs]
+    if mont:
+        xs = [field.to_mont_int(x) for x in xs]
+    return ints_to_array(xs)
+
+
+def decode(field: Field, arr, mont: bool = False) -> list[int]:
+    vals = array_to_ints(arr)
+    if mont:
+        vals = [field.from_mont_int(v) for v in vals]
+    return vals

@@ -1,0 +1,181 @@
+"""Radix-2 NTT over BN254 Fr (TPU, limb-vectorized).
+
+The TPU-native replacement for halo2-axiom's CPU `best_fft`
+(SURVEY.md §2.2 "Radix-2 FFT/NTT"): iterative Cooley-Tukey where every
+butterfly stage is one vectorized Montgomery multiply + add/sub over the
+whole array, so the work maps onto the VPU as (20, n)-shaped integer ops.
+Twiddle tables are precomputed host-side per domain and live on device.
+
+Used for: quotient-polynomial evaluation on the extended (coset) domain,
+interpolation (iNTT), and exact witness polynomial products (values < p).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import field as F
+from .field import FR
+
+
+def _find_root_of_unity(field: F.Field, order_log2: int) -> int:
+    """Host: element of exact multiplicative order 2^order_log2."""
+    p = field.p
+    two_adicity = 0
+    t = p - 1
+    while t % 2 == 0:
+        t //= 2
+        two_adicity += 1
+    assert order_log2 <= two_adicity, "field 2-adicity too small"
+    for g in range(2, 100):
+        w = pow(g, (p - 1) >> two_adicity, p)
+        if pow(w, 1 << (two_adicity - 1), p) != 1:
+            # w has exact order 2^two_adicity
+            return pow(w, 1 << (two_adicity - order_log2), p)
+    raise AssertionError("no generator found")
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    k = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+@dataclasses.dataclass
+class Domain:
+    """Multiplicative subgroup domain of size n = 2^k over Fr.
+
+    Holds host ints + device twiddle tables (Montgomery form).
+    """
+
+    field: F.Field
+    k: int
+    omega: int  # generator of the size-n subgroup
+    omega_inv: int
+    n_inv: int
+
+    # device tables
+    stage_tw: list  # stage s -> (L, 2^s / 2) twiddles, Montgomery
+    stage_tw_inv: list
+    bitrev: jnp.ndarray
+
+    @staticmethod
+    @functools.lru_cache(maxsize=32)
+    def new(k: int, field: F.Field = FR) -> "Domain":
+        n = 1 << k
+        omega = _find_root_of_unity(field, k)
+        omega_inv = pow(omega, field.p - 2, field.p)
+        n_inv = pow(n, field.p - 2, field.p)
+
+        def tables(w):
+            out = []
+            for s in range(1, k + 1):
+                m = 1 << s
+                wm = pow(w, n // m, field.p)
+                tws = [1] * (m // 2)
+                for j in range(1, m // 2):
+                    tws[j] = tws[j - 1] * wm % field.p
+                out.append(jnp.asarray(F.encode(field, tws, mont=True)))
+            return out
+
+        return Domain(
+            field=field,
+            k=k,
+            omega=omega,
+            omega_inv=omega_inv,
+            n_inv=n_inv,
+            stage_tw=tables(omega),
+            stage_tw_inv=tables(omega_inv),
+            bitrev=jnp.asarray(_bit_reverse_perm(n)),
+        )
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    def powers(self, base: int, count: int | None = None) -> np.ndarray:
+        """Host: [1, base, base^2, ...] as ints."""
+        count = self.n if count is None else count
+        out = [1] * count
+        for i in range(1, count):
+            out[i] = out[i - 1] * base % self.field.p
+        return out
+
+
+def _ntt_core(domain: Domain, x, stage_tables):
+    """x: (L, ..., n) Montgomery values; returns NTT along last axis."""
+    fld = domain.field
+    n = domain.n
+    x = jnp.take(x, domain.bitrev, axis=-1)
+    lead = x.shape[:-1]  # (L, *batch)
+    for s in range(1, domain.k + 1):
+        m = 1 << s
+        half = m // 2
+        xr = x.reshape(lead + (n // m, m))
+        u = xr[..., :half]
+        v = xr[..., half:]
+        tw = stage_tables[s - 1]  # (L, half)
+        tw = tw.reshape((F.NLIMBS,) + (1,) * (len(lead) - 1) + (1, half))
+        tw = jnp.broadcast_to(tw, v.shape)
+        vw = F.mont_mul(fld, v, tw)
+        x = jnp.concatenate(
+            [F.add(fld, u, vw), F.sub(fld, u, vw)], axis=-1
+        ).reshape(lead + (n,))
+    return x
+
+
+def ntt(domain: Domain, coeffs):
+    """Forward NTT: coefficients (a_0..a_{n-1}, ascending) -> evaluations at
+    [w^0..w^{n-1}]. Input/output (L, *batch, n) uint32 Montgomery form."""
+    return _ntt_core(domain, coeffs, domain.stage_tw)
+
+
+def intt(domain: Domain, evals):
+    """Inverse NTT: evaluations -> coefficients (ascending order)."""
+    x = _ntt_core(domain, evals, domain.stage_tw_inv)
+    ninv = F.const(
+        domain.field, domain.field.to_mont_int(domain.n_inv), x.shape[1:]
+    )
+    return F.mont_mul(domain.field, x, ninv)
+
+
+def scale_by_powers(field: F.Field, x, base: int):
+    """Multiply x[..., i] by base^i (for coset NTTs). base: host int."""
+    n = x.shape[-1]
+    pows = [1] * n
+    for i in range(1, n):
+        pows[i] = pows[i - 1] * base % field.p
+    pvec = jnp.asarray(F.encode(field, pows, mont=True))
+    pvec = pvec.reshape((F.NLIMBS,) + (1,) * (x.ndim - 2) + (n,))
+    return F.mont_mul(field, x, jnp.broadcast_to(pvec, x.shape))
+
+
+def coset_ntt(domain: Domain, coeffs, coset_gen: int):
+    """Evaluate coefficients over the coset g*H (g = coset_gen)."""
+    return ntt(domain, scale_by_powers(domain.field, coeffs, coset_gen))
+
+
+def coset_intt(domain: Domain, evals, coset_gen: int):
+    """Interpolate evaluations over coset g*H back to coefficients."""
+    coeffs = intt(domain, evals)
+    ginv = pow(coset_gen, domain.field.p - 2, domain.field.p)
+    return scale_by_powers(domain.field, coeffs, ginv)
+
+
+def poly_mul(domain: Domain, a, b):
+    """Exact product of two (Montgomery-form) polynomials via NTT.
+
+    Degrees must satisfy deg(a)+deg(b) < n. Used by the on-device witness
+    generator for pk0*u / pk1*u (reference: src/poly.rs:75-103 does this
+    O(N^2) on CPU bigints; here it is O(n log n) on TPU, exact because all
+    coefficient values stay < p)."""
+    fa = ntt(domain, a)
+    fb = ntt(domain, b)
+    return intt(domain, F.mont_mul(domain.field, fa, fb))
