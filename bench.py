@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Round benchmark: one JSON line on stdout.
+
+Headline metric (BASELINE.md): BFV encryption proof time at k=13,
+N=1024, Q=2^29-3 — reference: 10.2 s on an Apple M2 (single proof,
+keygen excluded). vs_baseline = baseline_seconds / measured_seconds
+(>1 means faster than the reference).
+
+Falls back to the MSM throughput metric if the full pipeline fails, so
+the driver always records a data point. All progress goes to stderr;
+stdout carries exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def log(*a):
+    print("[bench]", *a, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("ZKFHE_BENCH", "1")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/zkfhe_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from zkfhe_tpu.models import bfv
+    from zkfhe_tpu.ops import field as F
+    from zkfhe_tpu.trace import compile as TC
+    from zkfhe_tpu.backend import keygen as KG
+    from zkfhe_tpu.backend import prover as PV
+    from zkfhe_tpu.backend import srs as SRS
+    from zkfhe_tpu.backend import verifier as VF
+
+    log("devices:", jax.devices())
+
+    k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
+    n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
+    baseline_s = 10.2
+
+    try:
+        params = bfv.BfvParams(n=n)
+        t0 = time.time()
+        cin_path = os.path.join("data", "bfv", "bfv.in")
+        if n == 1024 and os.path.exists(cin_path):
+            cin = bfv.CircuitInput.from_json(cin_path)
+        else:
+            cin = bfv.generate_input(params, seed=1)
+        inputs = cin.to_arrays(params)
+        circuit = bfv.make_bfv_circuit(params)
+        log(f"inputs ready ({time.time()-t0:.1f}s)")
+
+        t0 = time.time()
+        srs = SRS.load_or_generate(k, "params")
+        log(f"srs ready ({time.time()-t0:.1f}s)")
+
+        t0 = time.time()
+        pk = KG.keygen(circuit, inputs, k, srs)
+        log(f"keygen done ({time.time()-t0:.1f}s); "
+            f"advice={pk.vk.shape['num_advice']} "
+            f"perm={pk.vk.shape['num_perm_cols']}")
+
+        # warm-up proof compiles everything; second proof is the measure
+        t0 = time.time()
+        proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"warmup")
+        log(f"warmup prove done ({time.time()-t0:.1f}s), "
+            f"{len(proof)} bytes")
+
+        t0 = time.time()
+        proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
+        prove_s = time.time() - t0
+        log(f"bench prove: {prove_s:.3f}s")
+
+        t0 = time.time()
+        gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+        _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+        inst = F.decode(F.FR, instance)
+        ok = VF.verify(pk.vk, proof, inst, verbose=True)
+        log(f"verify: {ok} ({time.time()-t0:.3f}s)")
+        assert ok, "proof did not verify"
+
+        print(json.dumps({
+            "metric": f"bfv_proof_time_k{k}",
+            "value": round(prove_s, 4),
+            "unit": "s",
+            "vs_baseline": round(baseline_s / prove_s, 3),
+        }))
+        return 0
+    except Exception:
+        log("full pipeline failed:\n" + traceback.format_exc())
+
+    # fallback: MSM throughput (points/s/chip)
+    try:
+        from zkfhe_tpu.ops import curve as C
+        from zkfhe_tpu.ops import msm as M
+        import random
+        random.seed(0)
+        npts, K = 8192, 8
+        pts = [C.G1_GEN.mul(random.randrange(1, F.FR.p)) for _ in range(64)]
+        pts = pts * (npts // 64)
+        P_ = C.encode_points(pts)
+        sc = jnp.asarray(np.random.randint(
+            0, 1 << 13, size=(F.NLIMBS, K, npts), dtype=np.uint32))
+        run = jax.jit(lambda s: jnp.stack(M.msm((P_[0], P_[1]), s), 0))
+        run(sc)[0].block_until_ready()
+        t0 = time.time()
+        run(sc)[0].block_until_ready()
+        dt = time.time() - t0
+        rate = npts * K / dt
+        log(f"msm fallback: {rate:.0f} pts/s")
+        print(json.dumps({
+            "metric": "msm_points_per_s_per_chip",
+            "value": round(rate, 1),
+            "unit": "pts/s",
+            "vs_baseline": 0.0,
+        }))
+        return 0
+    except Exception:
+        log("msm fallback failed:\n" + traceback.format_exc())
+        print(json.dumps({
+            "metric": "bench_failed", "value": 0, "unit": "",
+            "vs_baseline": 0.0}))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

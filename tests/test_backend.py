@@ -1,0 +1,89 @@
+"""End-to-end SNARK backend: keygen -> prove -> verify on a small circuit
+exercising every argument (gates, challenge/RLC, lookups, permutation)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkfhe_tpu.backend import keygen as KG
+from zkfhe_tpu.backend import prover as PV
+from zkfhe_tpu.backend import srs as SRS
+from zkfhe_tpu.backend import verifier as VF
+from zkfhe_tpu.ops import field as F
+from zkfhe_tpu.trace import compile as TC
+from zkfhe_tpu.trace import range_ops as R
+
+FR = F.FR
+K = 9
+
+
+def circuit(bld, inputs):
+    x = bld.load_witness(inputs["x"])       # phase 0
+    y = bld.load_witness(inputs["y"])
+    s = bld.add(x, y)
+    p = bld.mul(x, y)
+    R.range_check(bld, s, 29)               # lookup path
+    q, _r = R.div_mod(bld, p, 97, 58)
+    g = bld.challenge_cell()                # challenge + RLC path
+    pows = bld.powers(g, x.m)
+    ev = bld.rlc_eval(x, pows)              # constrained but not exposed:
+    # instance cells must be challenge-independent (they are hashed into
+    # the transcript before gamma is squeezed), as in the reference where
+    # all publics are phase-0 polynomials (examples/bfv.rs:118-122)
+    bld.expose_public(s)
+    bld.expose_public(q)
+
+
+def make_inputs(xs, ys):
+    return {
+        "x": jnp.asarray(F.encode(FR, xs)),
+        "y": jnp.asarray(F.encode(FR, ys)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    inputs = make_inputs([3, 5, 250000000], [4, 6, 260000000])
+    srs = SRS.generate(K)
+    pk = KG.keygen(circuit, inputs, K, srs)
+    return inputs, srs, pk
+
+
+def test_keygen_shapes(setup):
+    inputs, srs, pk = setup
+    assert pk.vk.shape["num_advice"] >= 2
+    assert pk.vk.shape["num_lk_cols"] >= 1
+    assert len(pk.vk.fixed_commits) == len(
+        __import__("zkfhe_tpu.backend.protocol", fromlist=["x"]
+                   ).fixed_poly_names(pk.vk.shape))
+
+
+def test_prove_verify_roundtrip(setup):
+    inputs, srs, pk = setup
+    # witness satisfies the circuit (mock sanity first)
+    layout = pk.asm.layout
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+    inst = F.decode(FR, instance)
+    assert VF.verify(pk.vk, proof, inst)
+
+
+def test_verify_rejects_tampered_proof(setup):
+    inputs, srs, pk = setup
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+    inst = F.decode(FR, instance)
+    bad = bytearray(proof)
+    bad[100] ^= 1
+    assert not VF.verify(pk.vk, bytes(bad), inst)
+
+
+def test_verify_rejects_wrong_instance(setup):
+    inputs, srs, pk = setup
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+    inst = F.decode(FR, instance)
+    inst[0] = (inst[0] + 1) % FR.p
+    assert not VF.verify(pk.vk, proof, inst)

@@ -1,0 +1,219 @@
+"""Key generation: fixed/permutation polynomials, commitments, artifacts.
+
+Reference behavior being reproduced (SURVEY.md §3.2): `keygen` runs the
+circuit on shape-only input, auto-tunes the column config, writes
+configs/{name}.json, and produces data/{name}.vk / data/{name}.pk.
+All polynomial math (iNTT to coefficient form, commitment MSMs, sigma
+value construction) runs on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt as N
+from ..ops.field import FR
+from . import srs as SRS
+from .assembly import Assembly, assemble
+from ..trace.compile import Layout, trace_layout
+
+MSM_BATCH = 16  # columns per MSM launch (bounds digit-buffer memory)
+
+
+def find_delta(field: F.Field, min_order: int = 4096) -> int:
+    """Permutation coset shift: odd-order element (orders coprime to the
+    2^k domain), order > #perm columns so delta^i H are distinct cosets."""
+    two_adic = (field.p - 1)
+    s = 0
+    while two_adic % 2 == 0:
+        two_adic //= 2
+        s += 1
+    for g in range(3, 100):
+        d = pow(g, 1 << s, field.p)
+        # check order exceeds min_order
+        x, ok = d, True
+        for _ in range(min_order):
+            if x == 1:
+                ok = False
+                break
+            x = x * d % field.p
+        if ok and d != 1:
+            return d
+    raise AssertionError("no delta found")
+
+
+def commit_columns(srs: SRS.SRS, coeffs_mont, batch: int = MSM_BATCH):
+    """Commit a (L, K, n) Montgomery coefficient batch -> K affine points.
+    One Pippenger MSM per group of `batch` columns over the shared SRS."""
+    L, K, n = coeffs_mont.shape
+    std = F.from_mont(FR, coeffs_mont)
+    PX, PY = srs.g1[0][:, :n], srs.g1[1][:, :n]
+    pts = []
+    for s in range(0, K, batch):
+        sc = std[:, s:s + batch, :]
+        out = M.msm((PX, PY), sc)
+        pts.extend(C.decode_points(out))
+    return pts
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    k: int
+    shape: dict  # column/term shape metadata (drives the verifier)
+    fixed_commits: list  # AffinePoint, order of Assembly.fixed_column_values
+    sigma_commits: list  # AffinePoint per permutation column
+    g2_gen: tuple
+    g2_tau: tuple
+    delta: int
+    instance_size: int
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    asm: Assembly
+    fixed_coeffs: jnp.ndarray  # (L, NF, n) Montgomery
+    sigma_coeffs: jnp.ndarray  # (L, P, n) Montgomery
+    sigma_vals: jnp.ndarray  # (L, P, n) Montgomery (Lagrange basis)
+
+
+def shape_of(asm: Assembly) -> dict:
+    return {
+        "num_advice": asm.num_advice,
+        "num_p0_cols": asm.num_p0_cols,
+        "num_gate_cols": asm.num_gate_cols,
+        "num_lk_cols": asm.num_lk_cols,
+        "sel_cols": sorted(asm.sel_rows),
+        "chal_cols": sorted(asm.chal_rows),
+        "num_perm_cols": asm.num_perm_cols,
+        "instance_size": asm.instance_size,
+        "usable_rows": asm.u,
+    }
+
+
+def keygen(circuit_fn, example_inputs, k: int, srs: SRS.SRS) -> ProvingKey:
+    layout = trace_layout(circuit_fn, example_inputs)
+    asm = assemble(layout, k)
+    n = asm.n
+    assert srs.n >= n, "SRS too small for k"
+    dom = N.Domain.new(k)
+    delta = find_delta(FR, min_order=asm.num_perm_cols + 16)
+
+    # ---- fixed columns -> Montgomery Lagrange values -> coeffs ----------
+    fixed_named = asm.fixed_column_values()
+    fixed_vals_std = np.stack(
+        [F.encode_ints_np([int(v) % FR.p for v in col]) for _, col in fixed_named],
+        axis=1,
+    )  # (L, NF, n)
+    fixed_vals = F.to_mont(FR, jnp.asarray(fixed_vals_std))
+    fixed_coeffs = N.intt(dom, fixed_vals)
+
+    # ---- sigma polynomials ----------------------------------------------
+    # sigma_val[j][r] = delta^{sigma_col} * omega^{sigma_row}
+    P = asm.num_perm_cols
+    delta_pows = [1] * P
+    for i in range(1, P):
+        delta_pows[i] = delta_pows[i - 1] * delta % FR.p
+    omega_pows = dom.powers(dom.omega)
+    dp = jnp.asarray(F.encode(FR, delta_pows, mont=True))  # (L, P)
+    wp = jnp.asarray(F.encode_ints_np(
+        [FR.to_mont_int(v) for v in omega_pows]))  # (L, n)
+    dsel = jnp.take(dp, jnp.asarray(asm.sigma_col.reshape(-1)), axis=1)
+    wsel = jnp.take(wp, jnp.asarray(asm.sigma_row.reshape(-1)), axis=1)
+    sigma_vals = F.mont_mul(FR, dsel, wsel).reshape(F.NLIMBS, P, n)
+    sigma_coeffs = N.intt(dom, sigma_vals)
+
+    # ---- commitments -----------------------------------------------------
+    fixed_commits = commit_columns(srs, fixed_coeffs)
+    sigma_commits = commit_columns(srs, sigma_coeffs)
+
+    vk = VerifyingKey(
+        k=k, shape=shape_of(asm),
+        fixed_commits=fixed_commits, sigma_commits=sigma_commits,
+        g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
+        delta=delta, instance_size=asm.instance_size,
+    )
+    return ProvingKey(
+        vk=vk, asm=asm,
+        fixed_coeffs=fixed_coeffs,
+        sigma_coeffs=sigma_coeffs,
+        sigma_vals=sigma_vals,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Artifact io (data/{name}.pk, data/{name}.vk, configs/{name}.json —
+# mirroring the reference artifact store, SURVEY.md §5 "Checkpoint/resume")
+# ---------------------------------------------------------------------------
+
+def _points_to_obj(pts):
+    return np.asarray(
+        [[0, 0] if p.infinity else [p.x, p.y] for p in pts], dtype=object
+    )
+
+
+def _points_from_obj(arr):
+    out = []
+    for x, y in arr:
+        out.append(C.AffinePoint() if int(x) == 0 and int(y) == 0
+                   else C.AffinePoint(int(x), int(y)))
+    return out
+
+
+def save_vk(vk: VerifyingKey, path: str):
+    np.savez_compressed(
+        path,
+        k=vk.k, shape=json.dumps(vk.shape), delta=str(vk.delta),
+        instance_size=vk.instance_size,
+        fixed=_points_to_obj(vk.fixed_commits),
+        sigma=_points_to_obj(vk.sigma_commits),
+        g2_gen=np.asarray([*vk.g2_gen[0], *vk.g2_gen[1]], dtype=object),
+        g2_tau=np.asarray([*vk.g2_tau[0], *vk.g2_tau[1]], dtype=object),
+        allow_pickle=True,
+    )
+
+
+def load_vk(path: str) -> VerifyingKey:
+    d = np.load(path, allow_pickle=True)
+    g2g = [int(v) for v in d["g2_gen"]]
+    g2t = [int(v) for v in d["g2_tau"]]
+    return VerifyingKey(
+        k=int(d["k"]), shape=json.loads(str(d["shape"])),
+        fixed_commits=_points_from_obj(d["fixed"]),
+        sigma_commits=_points_from_obj(d["sigma"]),
+        g2_gen=((g2g[0], g2g[1]), (g2g[2], g2g[3])),
+        g2_tau=((g2t[0], g2t[1]), (g2t[2], g2t[3])),
+        delta=int(str(d["delta"])), instance_size=int(d["instance_size"]),
+    )
+
+
+def save_pk(pk: ProvingKey, path: str):
+    """Proving key device arrays; the assembly is re-derived from the
+    circuit at load time (it is a deterministic function of the circuit,
+    like halo2 re-synthesizing from configs/{name}.json)."""
+    np.savez_compressed(
+        path,
+        fixed_coeffs=np.asarray(pk.fixed_coeffs),
+        sigma_coeffs=np.asarray(pk.sigma_coeffs),
+        sigma_vals=np.asarray(pk.sigma_vals),
+        delta=str(pk.vk.delta), k=pk.vk.k,
+    )
+
+
+def load_pk(path: str, vk: VerifyingKey, circuit_fn, example_inputs) -> ProvingKey:
+    d = np.load(path, allow_pickle=True)
+    layout = trace_layout(circuit_fn, example_inputs)
+    asm = assemble(layout, int(d["k"]))
+    return ProvingKey(
+        vk=vk, asm=asm,
+        fixed_coeffs=jnp.asarray(d["fixed_coeffs"]),
+        sigma_coeffs=jnp.asarray(d["sigma_coeffs"]),
+        sigma_vals=jnp.asarray(d["sigma_vals"]),
+    )

@@ -1,0 +1,133 @@
+"""KZG structured reference string (test-only, seeded trapdoor).
+
+Equivalent of halo2-scaffold's `gen_srs` (SURVEY.md §2.2 "SRS management"):
+a deterministic random tau generates [tau^i]G1 for i < 2^k plus [1]G2 and
+[tau]G2, cached under params/kzg_bn254_{k}.npz (mirrors the reference's
+`params/` artifact layout, .gitignore:18). UNSAFE for production, exactly
+like the reference's test SRS (README.md:34).
+
+G1 powers are computed ON DEVICE: a vectorized double-and-add ladder over
+all 2^k scalars at once (ops/curve.scalar_mul), then one batched
+Jacobian->affine normalization (Montgomery batch inversion).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import curve as C
+from ..ops import field as F
+from ..ops.field import FQ, FR
+from . import pairing as PR
+
+
+@dataclasses.dataclass
+class SRS:
+    k: int
+    g1: tuple  # (X, Y) affine Montgomery-form arrays, (L, n)
+    g2_gen: tuple  # G2 affine (host ints)
+    g2_tau: tuple
+
+    @property
+    def n(self):
+        return 1 << self.k
+
+    def g1_points(self, count=None) -> list:
+        """Host affine points (for verifier-side small MSMs)."""
+        X, Y = self.g1
+        count = self.n if count is None else count
+        Z = F.const(FQ, FQ.to_mont_int(1), (count,))
+        return C.decode_points((X[:, :count], Y[:, :count], Z))
+
+
+def _tau_from_seed(seed: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(seed).digest(), "little") % FR.p
+
+
+def generate(k: int, seed: bytes = b"zkfhe-tpu-test-srs") -> SRS:
+    n = 1 << k
+    tau = _tau_from_seed(seed)
+
+    # host: powers of tau (exact ints)
+    taus = [1] * n
+    for i in range(1, n):
+        taus[i] = taus[i - 1] * tau % FR.p
+
+    if n <= 256:
+        pts = [C.G1_GEN.mul(t) for t in taus]
+        X, Y, _ = C.encode_points(pts)
+    else:
+        # device ladder: all n scalar muls of G at once
+        nbits = 254
+        bits = np.zeros((nbits, n), dtype=np.uint32)
+        for i, t in enumerate(taus):
+            for b in range(t.bit_length()):
+                bits[b, i] = (t >> b) & 1
+        G = C.encode_points([C.G1_GEN] * n)
+        acc = C.scalar_mul(G, jnp.asarray(bits))
+        X, Y = to_affine_xy(acc)
+
+    g2_tau = PR.g2_mul(PR.G2_GEN, tau)
+    return SRS(k=k, g1=(jnp.asarray(X), jnp.asarray(Y)),
+               g2_gen=PR.G2_GEN, g2_tau=g2_tau)
+
+
+def to_affine_xy(P):
+    """Jacobian batch -> affine (X, Y) Montgomery arrays. Infinity lanes
+    map to (0, 0) (not expected in an SRS)."""
+    X, Y, Z = P
+    zinv = F.batch_inv(FQ, Z)
+    z2 = F.mont_mul(FQ, zinv, zinv)
+    z3 = F.mont_mul(FQ, z2, zinv)
+    ax = F.mont_mul(FQ, X, z2)
+    ay = F.mont_mul(FQ, Y, z3)
+    inf = F.is_zero(Z)
+    zero = F.zero(X.shape[1:])
+    return F.select(inf, zero, ax), F.select(inf, zero, ay)
+
+
+def path_for(k: int, params_dir: str = "params") -> str:
+    return os.path.join(params_dir, f"kzg_bn254_{k}.npz")
+
+
+def save(srs: SRS, params_dir: str = "params"):
+    os.makedirs(params_dir, exist_ok=True)
+    np.savez_compressed(
+        path_for(srs.k, params_dir),
+        k=srs.k,
+        g1x=np.asarray(srs.g1[0]),
+        g1y=np.asarray(srs.g1[1]),
+        g2_gen=np.asarray(
+            [srs.g2_gen[0][0], srs.g2_gen[0][1], srs.g2_gen[1][0], srs.g2_gen[1][1]],
+            dtype=object,
+        ),
+        g2_tau=np.asarray(
+            [srs.g2_tau[0][0], srs.g2_tau[0][1], srs.g2_tau[1][0], srs.g2_tau[1][1]],
+            dtype=object,
+        ),
+        allow_pickle=True,
+    )
+
+
+def load(k: int, params_dir: str = "params") -> SRS:
+    data = np.load(path_for(k, params_dir), allow_pickle=True)
+    g2g = [int(v) for v in data["g2_gen"]]
+    g2t = [int(v) for v in data["g2_tau"]]
+    return SRS(
+        k=int(data["k"]),
+        g1=(jnp.asarray(data["g1x"]), jnp.asarray(data["g1y"])),
+        g2_gen=((g2g[0], g2g[1]), (g2g[2], g2g[3])),
+        g2_tau=((g2t[0], g2t[1]), (g2t[2], g2t[3])),
+    )
+
+
+def load_or_generate(k: int, params_dir: str = "params") -> SRS:
+    if os.path.exists(path_for(k, params_dir)):
+        return load(k, params_dir)
+    srs = generate(k)
+    save(srs, params_dir)
+    return srs

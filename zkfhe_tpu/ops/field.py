@@ -133,6 +133,15 @@ FQ = Field(BN254_FQ, "Fq")
 # graphs free of tiny dynamic slices; the loops below are static (L=20).
 # ---------------------------------------------------------------------------
 
+
+def vary_like(x, ref):
+    """Give x the same shard_map device-varying axes (vma) as ref without
+    changing values — needed so constant-initialized scan/loop carries
+    type-check inside shard_map (the carry must match the varying body
+    output). jnp.where with a False predicate joins the vma sets."""
+    return jnp.where(jnp.bool_(False), ref, x)
+
+
 def _carry_chain(t):
     """Propagate carries along axis 0 of a (L, *batch) uint32 array whose
     limbs may exceed 2^LIMB_BITS. Sequential over limbs via lax.scan (the
@@ -142,7 +151,7 @@ def _carry_chain(t):
         v = v + carry
         return v >> LIMB_BITS, v & LIMB_MASK
 
-    carry, out = jax.lax.scan(body, jnp.zeros_like(t[0]), t)
+    carry, out = jax.lax.scan(body, t[0] * jnp.uint32(0), t)
     return out, carry
 
 
@@ -155,7 +164,9 @@ def _sub_limbs(a, b):
         d = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
         return jnp.uint32(1) - (d >> LIMB_BITS), d & LIMB_MASK
 
-    borrow, out = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+    # carry seed derives from BOTH operands so it picks up either side's
+    # shard_map varying axes (see vary_like)
+    borrow, out = jax.lax.scan(body, (a[0] + b[0]) * jnp.uint32(0), (a, b))
     return out, borrow
 
 
@@ -173,12 +184,14 @@ def _cond_sub_p(field: Field, t):
     return jnp.where(keep, t, s)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def add(field: Field, a, b):
     """(a + b) mod p. a, b: (L, *batch) uint32, reduced."""
     s, _ = _carry_chain(a + b)
     return _cond_sub_p(field, s)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def sub(field: Field, a, b):
     """(a - b) mod p."""
     d, borrow = _sub_limbs(a, b)
@@ -194,6 +207,7 @@ def double(field: Field, a):
     return add(field, a, a)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def mont_mul(field: Field, a, b):
     """Montgomery product a*b*R^-1 mod p. a, b: (L, *batch) uint32, < p.
 
@@ -238,12 +252,14 @@ def mont_sqr(field: Field, a):
     return mont_mul(field, a, a)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def to_mont(field: Field, a):
     """standard -> Montgomery form (multiply by R^2, mont-reduce)."""
     r2 = _const(field, field.r2, a)
     return mont_mul(field, a, r2)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def from_mont(field: Field, a):
     """Montgomery -> standard form (mont-multiply by 1)."""
     one = _const(field, 1, a)
@@ -289,7 +305,7 @@ def select(mask, a, b):
 def mont_pow(field: Field, a, exp_bits):
     """a^e in Montgomery form; exp_bits: (nbits,) uint32 array of bits, LSB
     first (dynamic). Runs a fori_loop ladder: cheap graph, nbits iterations."""
-    one = to_mont(field, _const(field, 1, a))
+    one = vary_like(to_mont(field, _const(field, 1, a)), a)
     nbits = exp_bits.shape[0]
 
     def body(i, state):
@@ -304,6 +320,7 @@ def mont_pow(field: Field, a, exp_bits):
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def inv(field: Field, a):
     """Fermat inverse in Montgomery form: a^(p-2). inv(0) = 0."""
     bits = jnp.asarray(field.inv_exp_bits, dtype=U32)
@@ -311,6 +328,7 @@ def inv(field: Field, a):
     return select(is_zero(a), zero(a.shape[1:]), out)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def batch_inv(field: Field, a):
     """Batched inversion (Montgomery form) along the LAST axis using the
     Montgomery trick with log-depth associative scans: one real inversion
@@ -319,7 +337,7 @@ def batch_inv(field: Field, a):
     inv(a_i) = (prod_{j<i} a_j) * (prod_{j>i} a_j) * inv(prod_all).
     """
     zmask = is_zero(a)
-    one_like = to_mont(field, _const(field, 1, a))
+    one_like = vary_like(to_mont(field, _const(field, 1, a)), a)
     safe = select(zmask, one_like, a)
 
     moved = jnp.moveaxis(safe, -1, 0)  # (n, L, *rest)
@@ -349,11 +367,47 @@ def _assoc_mul(field: Field, x, y):
     return jnp.moveaxis(mont_mul(field, xm, ym), 0, 1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def power_series(field: Field, base_mont, count: int):
+    """[1, b, b^2, ..., b^(count-1)] in Montgomery form via log-depth
+    associative scan. base_mont: (L,) Montgomery."""
+    one = vary_like(to_mont(field, const(field, 1)), base_mont)
+    if count == 1:
+        return one[:, None]
+    reps = jnp.broadcast_to(base_mont[:, None], (NLIMBS, count - 1))
+    moved = jnp.moveaxis(reps, -1, 0)[:, :, None]  # (count-1, L, 1)
+
+    def op(x, y):
+        xm = jnp.moveaxis(x, 1, 0)
+        ym = jnp.moveaxis(y, 1, 0)
+        return jnp.moveaxis(mont_mul(field, xm, ym), 0, 1)
+
+    prefix = jax.lax.associative_scan(op, moved)[..., 0]  # (count-1, L)
+    return jnp.concatenate([one[:, None], jnp.moveaxis(prefix, 0, -1)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def tree_sum_mod(field: Field, arr, axis: int = -1):
+    """Modular sum along an axis by pairwise reduction (log depth; every
+    intermediate stays < p so 20 limbs always suffice)."""
+    arr = jnp.moveaxis(arr, axis if axis >= 0 else arr.ndim + axis, -1)
+    n = arr.shape[-1]
+    while n > 1:
+        half = n // 2
+        s = add(field, arr[..., :half], arr[..., half:2 * half])
+        if n % 2:
+            s = jnp.concatenate([s, arr[..., -1:]], axis=-1)
+        arr = s
+        n = arr.shape[-1]
+    return arr[..., 0]
+
+
 # ---------------------------------------------------------------------------
 # Plain multi-limb integer helpers (no modular reduction) — used for range
 # decompositions and witness div/mod on values far below p.
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def mul_wide(a, b):
     """Exact product of two (L,*batch) normalized limb arrays -> (2L,*batch)
     normalized. Accumulators stay < 2^31 (see mont_mul analysis)."""
@@ -403,18 +457,21 @@ def from_u32(v, nlimbs: int = NLIMBS):
     return jnp.stack(limbs, axis=0)
 
 
+@jax.jit
 def geq(a, b):
     """a >= b over normalized limb arrays; (*batch,) bool."""
     _, borrow = _sub_limbs(a, b)
     return borrow == 0
 
 
+@jax.jit
 def sub_plain(a, b):
     """a - b for a >= b (normalized limb arrays)."""
     d, _ = _sub_limbs(a, b)
     return d
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def divmod_const(a, m: int, num_bits: int):
     """(a // m, a % m) for normalized (L,*batch) values a < 2^num_bits and a
     STATIC modulus m. Barrett reduction entirely in 13-bit limbs (no 64-bit
@@ -450,6 +507,19 @@ def divmod_const(a, m: int, num_bits: int):
 # ---------------------------------------------------------------------------
 # Host-side exact conversions for tests / io
 # ---------------------------------------------------------------------------
+
+def encode_ints_np(xs, n: int = NLIMBS) -> np.ndarray:
+    """Host bulk encoder: array-like of python ints -> (n, len) uint32 SoA.
+    Vectorized via numpy object arithmetic: 20 vector ops instead of one
+    python call per element (keygen encodes millions of values)."""
+    arr = np.asarray(xs, dtype=object)
+    out = np.zeros((n,) + arr.shape, dtype=np.uint32)
+    for i in range(n):
+        out[i] = (arr & LIMB_MASK).astype(np.uint32)
+        arr = arr >> LIMB_BITS
+    assert not np.any(arr != 0), "values do not fit"
+    return out
+
 
 def encode(field: Field, xs: Sequence[int], mont: bool = False) -> np.ndarray:
     xs = [x % field.p for x in xs]

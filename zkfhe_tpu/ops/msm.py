@@ -63,7 +63,7 @@ def signed_digits(scalars, c: int):
         carry = wrap.astype(jnp.uint32)
         return carry, d
 
-    _, digits = jax.lax.scan(body, jnp.zeros(batch, dtype=jnp.uint32), raw)
+    _, digits = jax.lax.scan(body, raw[0] * jnp.uint32(0), raw)
     return digits  # (W, *batch) int32
 
 
@@ -85,12 +85,15 @@ def msm(points, scalars, c: int = 8):
     px_seq = jnp.moveaxis(PX, -1, 0)  # (n, L)
     py_seq = jnp.moveaxis(PY, -1, 0)
 
-    # bucket state: (L, K, W, B) per coordinate
-    bx = jnp.broadcast_to(
-        F.const(FQ, FQ.to_mont_int(1), (K, W, B)), (L, K, W, B)
-    )
+    # bucket state: (L, K, W, B) per coordinate (vary_like: see field.py —
+    # scan carries must match the body's shard_map varying axes)
+    ref4 = (PX[:, :1, None, None] * jnp.uint32(0))
+    bx = F.vary_like(jnp.broadcast_to(
+        F.const(FQ, FQ.to_mont_int(1), (K, W, B)), (L, K, W, B)),
+        jnp.broadcast_to(ref4, (L, K, W, B)))
     by = bx
-    bz = jnp.zeros((L, K, W, B), dtype=jnp.uint32)
+    bz = F.vary_like(jnp.zeros((L, K, W, B), dtype=jnp.uint32),
+                     jnp.broadcast_to(ref4, (L, K, W, B)))
 
     karange = jnp.arange(K)[:, None]
     warange = jnp.arange(W)[None, :]
@@ -127,7 +130,8 @@ def msm(points, scalars, c: int = 8):
 
     # aggregate buckets: T_w = sum_{b=1..B-1} b * bucket_b via descending
     # running sums; 2(B-1) sequential vectorized adds on (K, W) lanes.
-    inf = C.infinity_like((K, W))
+    ref3 = jnp.broadcast_to(PX[:, :1, None] * jnp.uint32(0), (L, K, W))
+    inf = tuple(F.vary_like(t, ref3) for t in C.infinity_like((K, W)))
 
     def agg(state, b):
         run, acc = state
@@ -153,7 +157,8 @@ def msm(points, scalars, c: int = 8):
         tw = tuple(t[..., sel] for t in totals)
         return C.point_add(acc, tw)
 
-    acc = C.infinity_like((K,))
+    ref2 = jnp.broadcast_to(PX[:, :1] * jnp.uint32(0), (L, K))
+    acc = tuple(F.vary_like(t, ref2) for t in C.infinity_like((K,)))
     acc = jax.lax.fori_loop(0, W, horner, acc)
     return acc
 

@@ -62,9 +62,11 @@ class Domain:
     n_inv: int
 
     # device tables
-    stage_tw: list  # stage s -> (L, 2^s / 2) twiddles, Montgomery
+    stage_tw: list  # stage s -> (L, 2^s / 2) twiddles, Montgomery (numpy,
+    # NOT jnp: Domain is lru-cached across jit traces, so device arrays here
+    # would leak tracers / stale buffers)
     stage_tw_inv: list
-    bitrev: jnp.ndarray
+    bitrev: np.ndarray
 
     @staticmethod
     @functools.lru_cache(maxsize=32)
@@ -82,7 +84,7 @@ class Domain:
                 tws = [1] * (m // 2)
                 for j in range(1, m // 2):
                     tws[j] = tws[j - 1] * wm % field.p
-                out.append(jnp.asarray(F.encode(field, tws, mont=True)))
+                out.append(np.asarray(F.encode(field, tws, mont=True)))
             return out
 
         return Domain(
@@ -93,7 +95,7 @@ class Domain:
             n_inv=n_inv,
             stage_tw=tables(omega),
             stage_tw_inv=tables(omega_inv),
-            bitrev=jnp.asarray(_bit_reverse_perm(n)),
+            bitrev=_bit_reverse_perm(n),
         )
 
     @property

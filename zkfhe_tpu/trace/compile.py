@@ -71,11 +71,21 @@ def snapshot_layout(bld: Builder) -> Layout:
         if bld.challenge_cells
         else np.zeros(0, dtype=np.int64)
     )
+    # merge copy constraints by (ctx_a, ctx_b) pair: O(1) array groups
+    merged = {}
+    for a, ai, b, bi in bld.copies:
+        merged.setdefault((a, b), ([], []))
+        merged[(a, b)][0].append(np.atleast_1d(ai))
+        merged[(a, b)][1].append(np.atleast_1d(bi))
+    copies = [
+        (a, np.concatenate(ais), b, np.concatenate(bis))
+        for (a, b), (ais, bis) in merged.items()
+    ]
     return Layout(
         field=bld.field,
         sizes=list(bld.sizes),
         gate_starts=gate_starts,
-        copies=[(a, np.asarray(ai), b, np.asarray(bi)) for a, ai, b, bi in bld.copies],
+        copies=copies,
         const_idx=const_idx,
         const_vals=const_vals,
         challenge_idx=challenge_idx,
