@@ -62,7 +62,16 @@ def main():
         log(f"srs ready ({time.time()-t0:.1f}s)")
 
         t0 = time.time()
-        pk = KG.keygen(circuit, inputs, k, srs)
+        vk_path = os.path.join("data", f"bench_k{k}_n{n}.vk.npz")
+        pk_path = os.path.join("data", f"bench_k{k}_n{n}.pk.npz")
+        if os.path.exists(vk_path) and os.path.exists(pk_path):
+            vk = KG.load_vk(vk_path)
+            pk = KG.load_pk(pk_path, vk, circuit, inputs)
+            log(f"pk/vk loaded from cache ({time.time()-t0:.1f}s)")
+        else:
+            pk = KG.keygen(circuit, inputs, k, srs)
+            KG.save_vk(pk.vk, vk_path)
+            KG.save_pk(pk, pk_path)
         log(f"keygen done ({time.time()-t0:.1f}s); "
             f"advice={pk.vk.shape['num_advice']} "
             f"perm={pk.vk.shape['num_perm_cols']}")
@@ -80,7 +89,7 @@ def main():
 
         t0 = time.time()
         gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-        _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+        _, instance = TC.make_witgen(circuit)(inputs, gamma0)
         inst = F.decode(F.FR, instance)
         ok = VF.verify(pk.vk, proof, inst, verbose=True)
         log(f"verify: {ok} ({time.time()-t0:.3f}s)")

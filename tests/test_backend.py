@@ -45,11 +45,15 @@ def setup():
     inputs = make_inputs([3, 5, 250000000], [4, 6, 260000000])
     srs = SRS.generate(K)
     pk = KG.keygen(circuit, inputs, K, srs)
-    return inputs, srs, pk
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+    inst = F.decode(FR, instance)
+    return inputs, srs, pk, proof, inst
 
 
 def test_keygen_shapes(setup):
-    inputs, srs, pk = setup
+    _, _, pk, _, _ = setup
     assert pk.vk.shape["num_advice"] >= 2
     assert pk.vk.shape["num_lk_cols"] >= 1
     assert len(pk.vk.fixed_commits) == len(
@@ -58,32 +62,19 @@ def test_keygen_shapes(setup):
 
 
 def test_prove_verify_roundtrip(setup):
-    inputs, srs, pk = setup
-    # witness satisfies the circuit (mock sanity first)
-    layout = pk.asm.layout
-    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
-    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
-    inst = F.decode(FR, instance)
+    _, _, pk, proof, inst = setup
     assert VF.verify(pk.vk, proof, inst)
 
 
 def test_verify_rejects_tampered_proof(setup):
-    inputs, srs, pk = setup
-    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
-    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
-    inst = F.decode(FR, instance)
+    _, _, pk, proof, inst = setup
     bad = bytearray(proof)
     bad[100] ^= 1
     assert not VF.verify(pk.vk, bytes(bad), inst)
 
 
 def test_verify_rejects_wrong_instance(setup):
-    inputs, srs, pk = setup
-    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"test-seed")
-    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-    _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
-    inst = F.decode(FR, instance)
-    inst[0] = (inst[0] + 1) % FR.p
-    assert not VF.verify(pk.vk, proof, inst)
+    _, _, pk, proof, inst = setup
+    bad_inst = list(inst)
+    bad_inst[0] = (bad_inst[0] + 1) % FR.p
+    assert not VF.verify(pk.vk, proof, bad_inst)

@@ -17,16 +17,29 @@ DATA = os.path.join(os.path.dirname(__file__), "..", "data", "bfv")
 SMALL = bfv.BfvParams(n=16, q=536870909, t=7, b=19)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _compiled(params):
+    """Share circuit closure / layout / jitted witgen across tests (the
+    compile is the dominant cost on CPU)."""
+    circuit = bfv.make_bfv_circuit(params)
+    return circuit, {}
+
+
 def run_mock(params, cin, tamper=None):
     inputs = cin.to_arrays(params)
     if tamper:
         inputs = dict(inputs)
         inputs[tamper] = inputs[tamper].at[0, 0].add(1)
-    circuit = bfv.make_bfv_circuit(params)
-    layout = TC.trace_layout(circuit, inputs)
+    circuit, cache = _compiled(params)
+    if "layout" not in cache:
+        cache["layout"] = TC.trace_layout(circuit, inputs)
+        cache["witgen"] = TC.make_witgen(circuit)
+    layout = cache["layout"]
     gamma = jnp.asarray(F.encode(FR, [0x1234567890ABCDEF]))[:, 0]
-    witgen = TC.make_witgen(circuit)
-    values, instance = witgen(inputs, gamma)
+    values, instance = cache["witgen"](inputs, gamma)
     res = TC.mock_check(layout, values, gamma, verbose=False)
     nbad = sum(len(v) for v in res.values())
     return layout, values, instance, nbad

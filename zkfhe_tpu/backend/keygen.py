@@ -24,7 +24,7 @@ from . import srs as SRS
 from .assembly import Assembly, assemble
 from ..trace.compile import Layout, trace_layout
 
-MSM_BATCH = 16  # columns per MSM launch (bounds digit-buffer memory)
+MSM_BATCH = 8  # columns per MSM launch (bounds bucket-replica memory)
 
 
 def find_delta(field: F.Field, min_order: int = 4096) -> int:
@@ -51,15 +51,22 @@ def find_delta(field: F.Field, min_order: int = 4096) -> int:
 
 def commit_columns(srs: SRS.SRS, coeffs_mont, batch: int = MSM_BATCH):
     """Commit a (L, K, n) Montgomery coefficient batch -> K affine points.
-    One Pippenger MSM per group of `batch` columns over the shared SRS."""
+    One Pippenger MSM per group of `batch` columns over the shared SRS.
+    Short tail groups are zero-padded to `batch` columns so every commit
+    in the process reuses ONE compiled MSM executable."""
     L, K, n = coeffs_mont.shape
+    if K == 0:
+        return []
     std = F.from_mont(FR, coeffs_mont)
     PX, PY = srs.g1[0][:, :n], srs.g1[1][:, :n]
     pts = []
     for s in range(0, K, batch):
         sc = std[:, s:s + batch, :]
+        real = sc.shape[1]
+        if real < batch:
+            sc = jnp.pad(sc, [(0, 0), (0, batch - real), (0, 0)])
         out = M.msm((PX, PY), sc)
-        pts.extend(C.decode_points(out))
+        pts.extend(C.decode_points(out)[:real])
     return pts
 
 

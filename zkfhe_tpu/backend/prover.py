@@ -14,11 +14,15 @@ GWC-style multiopen (see backend/protocol.py for the exact schedule):
   6. evaluations of every opened polynomial      -> squeeze v
   7. GWC witness polys per opening point (synthetic division) -> proof
 
-Every heavy step is vectorized limb math on device; the host only runs
-the transcript and orchestration.
+Performance shape: every stage below is a MODULE-LEVEL JITTED function
+(one XLA executable each, reused across every term/column/proof), so the
+host loop issues a few hundred large device calls instead of thousands
+of eager ops — essential on TPU where per-executable compilation and
+dispatch dominate otherwise.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -39,6 +43,14 @@ from .srs import SRS
 from .transcript import Transcript
 
 L = F.NLIMBS
+_LOG = os.environ.get("ZKFHE_LOG", "") not in ("", "0")
+
+
+def _log(msg):
+    if _LOG:
+        import sys, time
+        print(f"[prove {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
 
 
 def _rand_field_rows(rng, rows, cols):
@@ -52,9 +64,304 @@ def _enc_mont_scalar(x: int):
     return jnp.asarray(F.encode(FR, [x % FR.p], mont=True))[:, 0]
 
 
-class ProverState:
-    """Device-array bag for one proof."""
+def _jit(n_static=1):
+    return functools.partial(jax.jit, static_argnums=tuple(range(n_static)))
 
+
+# ---------------------------------------------------------------------------
+# Jitted stage kernels (compiled once per shape, cached persistently)
+# ---------------------------------------------------------------------------
+
+@_jit(1)
+def _j_coset(dom_ext, coeffs, cpow):
+    """(L, n) coeffs -> (L, ext_n) coset evaluations."""
+    ext_n = dom_ext.n
+    cp = jnp.pad(coeffs, [(0, 0), (0, ext_n - coeffs.shape[-1])])
+    return N.ntt(dom_ext, F.mont_mul(FR, cp, cpow))
+
+
+def _roll(ev, rot):
+    return jnp.roll(ev, -EXT_FACTOR * rot, axis=-1)
+
+
+def _wmul(w, t):
+    return F.mont_mul(FR, t, jnp.broadcast_to(w[:, None], t.shape))
+
+
+@_jit(1)
+def _j_gate_term(dom_ext, acc, w, a_coeffs, sel_coeffs, cpow):
+    a = _j_coset(dom_ext, a_coeffs, cpow)
+    sel = _j_coset(dom_ext, sel_coeffs, cpow)
+    t = F.add(FR, a, F.mont_mul(FR, _roll(a, 1), _roll(a, 2)))
+    t = F.sub(FR, t, _roll(a, 3))
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, t)))
+
+
+@_jit(1)
+def _j_chal_term(dom_ext, acc, w, a_coeffs, qg_coeffs, cpow, gamma_m):
+    a = _j_coset(dom_ext, a_coeffs, cpow)
+    sel = _j_coset(dom_ext, qg_coeffs, cpow)
+    gb = jnp.broadcast_to(gamma_m[:, None], a.shape)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, F.sub(FR, a, gb))))
+
+
+@_jit(1)
+def _j_lookup_h_term(dom_ext, acc, w, h_coeffs, l_coeffs, qact_coeffs,
+                     cpow, beta_m):
+    """l_coeffs: (L, G, n) stacked lookup-column coeffs for this group."""
+    G = l_coeffs.shape[1]
+    qact = _j_coset(dom_ext, qact_coeffs, cpow)
+    h = _j_coset(dom_ext, h_coeffs, cpow)
+    facs = []
+    for i in range(G):
+        li = _j_coset(dom_ext, l_coeffs[:, i], cpow)
+        facs.append(F.add(FR, li, jnp.broadcast_to(beta_m[:, None], li.shape)))
+    prod = facs[0]
+    for f2 in facs[1:]:
+        prod = F.mont_mul(FR, prod, f2)
+    lhs = F.mont_mul(FR, h, prod)
+    one = jnp.broadcast_to(_enc_mont_scalar(1)[:, None], lhs.shape)
+    rhs = jnp.zeros_like(lhs)
+    for j in range(G):
+        pr = one
+        for kk in range(G):
+            if kk != j:
+                pr = F.mont_mul(FR, pr, facs[kk])
+        rhs = F.add(FR, rhs, pr)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs))))
+
+
+@_jit(1)
+def _j_lookup_table_term(dom_ext, acc, w, g_coeffs, t_coeffs, m_coeffs,
+                         qact_coeffs, cpow, beta_m):
+    qact = _j_coset(dom_ext, qact_coeffs, cpow)
+    g_ev = _j_coset(dom_ext, g_coeffs, cpow)
+    t_ev = _j_coset(dom_ext, t_coeffs, cpow)
+    m_ev = _j_coset(dom_ext, m_coeffs, cpow)
+    bb = jnp.broadcast_to(beta_m[:, None], t_ev.shape)
+    t0 = F.sub(FR, F.mont_mul(FR, g_ev, F.add(FR, t_ev, bb)), m_ev)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, t0)))
+
+
+@_jit(1)
+def _j_lookup_acc_term(dom_ext, acc, w, phi_coeffs, h_stack, g_coeffs,
+                       qact_coeffs, cpow):
+    """h_stack: (L, NG, n) all group-helper coeffs."""
+    qact = _j_coset(dom_ext, qact_coeffs, cpow)
+    phi = _j_coset(dom_ext, phi_coeffs, cpow)
+    sh = F.sub(FR, _roll(phi, 1), phi)
+    hsum = jnp.zeros_like(phi)
+    for g in range(h_stack.shape[1]):
+        hsum = F.add(FR, hsum, _j_coset(dom_ext, h_stack[:, g], cpow))
+    g_ev = _j_coset(dom_ext, g_coeffs, cpow)
+    t0 = F.add(FR, F.sub(FR, sh, hsum), g_ev)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, t0)))
+
+
+@_jit(1)
+def _j_sel_poly_term(dom_ext, acc, w, poly_coeffs, sel_coeffs, cpow):
+    """sel * poly (lookup_first/lookup_last boundary terms)."""
+    sel = _j_coset(dom_ext, sel_coeffs, cpow)
+    pv = _j_coset(dom_ext, poly_coeffs, cpow)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, pv)))
+
+
+@_jit(1)
+def _j_sel_poly_minus_one_term(dom_ext, acc, w, poly_coeffs, sel_coeffs,
+                               cpow):
+    """sel * (poly - 1) (perm_first/perm_last boundary terms)."""
+    sel = _j_coset(dom_ext, sel_coeffs, cpow)
+    pv = _j_coset(dom_ext, poly_coeffs, cpow)
+    onem = jnp.broadcast_to(_enc_mont_scalar(1)[:, None], pv.shape)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, F.sub(FR, pv, onem))))
+
+
+@_jit(1)
+def _j_perm_chunk_term(dom_ext, acc, w, z_coeffs, v_coeffs, sig_coeffs,
+                       qact_coeffs, cpow, xcoset, dpows, beta_m, gamma_m):
+    """v_coeffs/sig_coeffs: (L, CH, n); dpows: (L, CH) delta^i Montgomery."""
+    CH = v_coeffs.shape[1]
+    qact = _j_coset(dom_ext, qact_coeffs, cpow)
+    z = _j_coset(dom_ext, z_coeffs, cpow)
+    lhs, rhs = _roll(z, 1), z
+    for i in range(CH):
+        v = _j_coset(dom_ext, v_coeffs[:, i], cpow)
+        sig = _j_coset(dom_ext, sig_coeffs[:, i], cpow)
+        bb = jnp.broadcast_to(beta_m[:, None], v.shape)
+        gg = jnp.broadcast_to(gamma_m[:, None], v.shape)
+        lhs = F.mont_mul(FR, lhs, F.add(
+            FR, v, F.add(FR, F.mont_mul(FR, bb, sig), gg)))
+        did = F.mont_mul(
+            FR, jnp.broadcast_to(dpows[:, i][:, None], xcoset.shape), xcoset)
+        rhs = F.mont_mul(FR, rhs, F.add(
+            FR, v, F.add(FR, F.mont_mul(FR, bb, did), gg)))
+    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs))))
+
+
+@_jit(2)
+def _j_perm_chain_term(dom_ext, u, acc, w, zj_coeffs, zprev_coeffs,
+                       qfirst_coeffs, cpow):
+    zj = _j_coset(dom_ext, zj_coeffs, cpow)
+    zprev_u = jnp.roll(_j_coset(dom_ext, zprev_coeffs, cpow),
+                       -EXT_FACTOR * u, axis=-1)
+    sel = _j_coset(dom_ext, qfirst_coeffs, cpow)
+    return F.add(FR, acc, _wmul(w, F.mont_mul(
+        FR, sel, F.sub(FR, zj, zprev_u))))
+
+
+@_jit(1)
+def _j_quot_finish(dom_ext, acc, zh_inv, cpow_inv):
+    h_ev = F.mont_mul(FR, acc, zh_inv)
+    h_coeffs = N.intt(dom_ext, h_ev)
+    return F.mont_mul(FR, h_coeffs, cpow_inv)
+
+
+@jax.jit
+def _j_evals_batch(coeffs_stack, xpow):
+    """(L, K, n) stack -> (L, K) evals at one point."""
+    prods = F.mont_mul(FR, coeffs_stack,
+                       jnp.broadcast_to(xpow[:, None], coeffs_stack.shape))
+    return F.tree_sum_mod(FR, prods, axis=-1)
+
+
+@jax.jit
+def _j_divide_linear(comb, ce, zm, zim):
+    """(f(X) - f(z))/(X - z): subtract ce from the constant term, then
+    synthetic division via log-depth suffix sums: b_j = z^-(j+1) S_{j+1}
+    with S_j = sum_{i>=j} a_i z^i."""
+    n = comb.shape[-1]
+    comb = comb.at[:, 0].set(F.sub(FR, comb[:, 0:1], ce[:, None])[:, 0])
+    zp = F.power_series(FR, zm, n)
+    zip_ = F.power_series(FR, zim, n + 1)
+    azi = F.mont_mul(FR, comb, zp)
+    moved = jnp.moveaxis(azi, -1, 0)[:, :, None]
+
+    def addop(xx, yy):
+        return jnp.moveaxis(
+            F.add(FR, jnp.moveaxis(xx, 1, 0), jnp.moveaxis(yy, 1, 0)), 0, 1)
+
+    suf = jax.lax.associative_scan(addop, moved, reverse=True)[..., 0]
+    suf = jnp.moveaxis(suf, 0, -1)
+    s_next = jnp.concatenate(
+        [suf[:, 1:], jnp.zeros((L, 1), dtype=jnp.uint32)], axis=1)
+    return F.mont_mul(FR, s_next, zip_[:, 1:])
+
+
+@jax.jit
+def _j_combine(coeffs_stack, vpows):
+    """sum_j vpows[j] * coeffs_stack[:, j] -> (L, n)."""
+    t = F.mont_mul(FR, coeffs_stack,
+                   jnp.broadcast_to(vpows[:, :, None], coeffs_stack.shape))
+    return F.tree_sum_mod(FR, t, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _j_advice(dom, num_advice, n, u, values, scatter_idx, blind):
+    """Scatter trace cells into the (L, A, n) advice matrix, convert to
+    Montgomery, append blinding rows, and iNTT to coefficients."""
+    flat = jnp.zeros((L, num_advice * n), dtype=jnp.uint32)
+    for ctx in range(NUM_CTX):
+        if values[ctx].shape[1]:
+            flat = flat.at[:, scatter_idx[ctx]].set(values[ctx])
+    adv = F.to_mont(FR, flat.reshape(L, num_advice, n))
+    adv = jnp.concatenate([adv[:, :, :u], blind], axis=2)
+    return adv, N.intt(dom, adv)
+
+
+@_jit(2)
+def _j_lookup_aux(dom, u, lk_cols, m_vals, table_vals, beta_m, rand_h,
+                  rand_g, rand_phi):
+    """logUp helpers: returns (h_all values, h coeffs, g coeffs, phi
+    coeffs). lk_cols: (L, nlk, n) Montgomery Lagrange values."""
+    n = dom.n
+    nlk = lk_cols.shape[1]
+    ngroups = -(-nlk // LOOKUP_GROUP)
+    bcast = jnp.broadcast_to(beta_m[:, None, None], lk_cols.shape)
+    denoms = F.add(FR, lk_cols, bcast)
+    inv = F.batch_inv(FR, denoms.reshape(L, -1)).reshape(denoms.shape)
+    hs = []
+    for g in range(ngroups):
+        sl = inv[:, g * LOOKUP_GROUP:(g + 1) * LOOKUP_GROUP, :]
+        hs.append(F.tree_sum_mod(FR, sl, axis=1))
+    h_all = jnp.stack(hs, axis=1)
+    tden = F.add(FR, table_vals,
+                 jnp.broadcast_to(beta_m[:, None], table_vals.shape))
+    g_vals = F.mont_mul(FR, m_vals, F.batch_inv(FR, tden))
+    s_vals = F.sub(FR, F.tree_sum_mod(FR, h_all, axis=1), g_vals)
+    act = (jnp.arange(n) < u)
+    s_vals = jnp.where(act[None], s_vals, jnp.zeros_like(s_vals))
+    moved = jnp.moveaxis(s_vals, -1, 0)[:, :, None]
+
+    def addop(xx, yy):
+        return jnp.moveaxis(
+            F.add(FR, jnp.moveaxis(xx, 1, 0), jnp.moveaxis(yy, 1, 0)), 0, 1)
+
+    pref = jnp.moveaxis(
+        jax.lax.associative_scan(addop, moved)[..., 0], 0, -1)
+    phi = jnp.concatenate(
+        [jnp.zeros((L, 1), dtype=jnp.uint32), pref[:, :-1]], axis=1)
+    phi = jnp.concatenate([phi[:, : u + 1], rand_phi], axis=1)
+    h_all = jnp.concatenate([h_all[:, :, :u], rand_h], axis=2)
+    g_vals = jnp.concatenate([g_vals[:, :u], rand_g], axis=1)
+    h_coeffs = N.intt(dom, h_all)
+    g_coeffs = N.intt(dom, g_vals)
+    phi_coeffs = N.intt(dom, phi)
+    return h_all, h_coeffs, g_coeffs, phi_coeffs
+
+
+@_jit(2)
+def _j_perm_z(dom, u, perm_vals, sigma_vals, dpow, wpow, beta_m, gamma_m,
+              rand_z):
+    """All permutation grand-product polys.
+
+    perm_vals/sigma_vals: (L, P, n); rand_z: (L, nz, n-u-1).
+    Returns (z_lagrange (L, nz, n), z_coeffs (L, nz, n))."""
+    n = dom.n
+    P = perm_vals.shape[1]
+    nz = rand_z.shape[1]
+    idv = F.mont_mul(
+        FR,
+        jnp.broadcast_to(dpow[:, :, None], (L, P, n)),
+        jnp.broadcast_to(wpow[:, None, :], (L, P, n)),
+    )
+    bb = jnp.broadcast_to(beta_m[:, None, None], (L, P, n))
+    gg = jnp.broadcast_to(gamma_m[:, None, None], (L, P, n))
+    num = F.add(FR, perm_vals, F.add(FR, F.mont_mul(FR, bb, idv), gg))
+    den = F.add(FR, perm_vals, F.add(FR, F.mont_mul(FR, bb, sigma_vals), gg))
+    den_inv = F.batch_inv(FR, den.reshape(L, -1)).reshape(den.shape)
+    ratio = F.mont_mul(FR, num, den_inv)
+
+    def mulop(xx, yy):
+        return jnp.moveaxis(
+            F.mont_mul(FR, jnp.moveaxis(xx, 1, 0), jnp.moveaxis(yy, 1, 0)),
+            0, 1)
+
+    one_m = _enc_mont_scalar(1)
+    chain = jnp.broadcast_to(one_m[:, None], (L, 1))[:, 0]
+    z_lag = []
+    for j in range(nz):
+        sl = ratio[:, j * PERM_CHUNK:(j + 1) * PERM_CHUNK, :u]
+        prod = sl[:, 0]
+        for i in range(1, sl.shape[1]):
+            prod = F.mont_mul(FR, prod, sl[:, i])
+        moved = jnp.moveaxis(prod, -1, 0)[:, :, None]
+        pref = jnp.moveaxis(
+            jax.lax.associative_scan(mulop, moved)[..., 0], 0, -1)
+        zvals = jnp.concatenate(
+            [jnp.broadcast_to(one_m[:, None], (L, 1)), pref], axis=1)
+        zvals = F.mont_mul(
+            FR, zvals, jnp.broadcast_to(chain[:, None], zvals.shape))
+        chain = zvals[:, -1]
+        zvals = jnp.concatenate([zvals, rand_z[:, j]], axis=1)
+        z_lag.append(zvals)
+    z_lag = jnp.stack(z_lag, axis=1)  # (L, nz, n)
+    z_coeffs = N.intt(dom, z_lag)
+    return z_lag, z_coeffs
+
+
+# ---------------------------------------------------------------------------
+# The prover
+# ---------------------------------------------------------------------------
 
 def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
           rng_seed: bytes | None = None, debug: bool = False) -> bytes:
@@ -65,6 +372,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     dom_ext = N.Domain.new(ext_k)
     ext_n = dom_ext.n
     delta = pk.vk.delta
+    shape = pk.vk.shape
 
     import random as _random
     rng = _random.Random(rng_seed or os.urandom(16))
@@ -79,157 +387,96 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     for v in inst_ints:
         tr.common_scalar(v)
 
-    # scatter helper: cells -> (L, A, n) advice matrix (standard form)
-    scatter_idx = {}
-    for ctx in range(NUM_CTX):
-        pos = (asm.cell_col[ctx].astype(np.int64) * n
-               + asm.cell_row[ctx].astype(np.int64))
-        scatter_idx[ctx] = jnp.asarray(pos)
+    scatter_idx = tuple(
+        jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
+                    + asm.cell_row[ctx].astype(np.int64))
+        for ctx in range(NUM_CTX)
+    )
+    blind = jnp.asarray(_rand_field_rows(rng, asm.num_advice, n - u))
 
-    def build_advice(values):
-        flat = jnp.zeros((L, asm.num_advice * n), dtype=jnp.uint32)
-        for ctx in range(NUM_CTX):
-            if values[ctx].shape[1]:
-                flat = flat.at[:, scatter_idx[ctx]].set(values[ctx])
-        return flat.reshape(L, asm.num_advice, n)
-
-    # blinding rows u..n-1 for every advice column
-    blind = _rand_field_rows(rng, asm.num_advice, n - u)  # (L, A, n-u)
-
-    def finish_advice(values):
-        adv = F.to_mont(FR, build_advice(values))
-        return jnp.concatenate([adv[:, :, :u], blind], axis=2)
-
-    adv = finish_advice(values0)
-    adv_coeffs = N.intt(dom, adv)
+    adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values0,
+                                scatter_idx, blind)
     p0 = asm.num_p0_cols
-    commits_p0 = commit_columns(srs, adv_coeffs[:, :p0] if p0 else
-                                jnp.zeros((L, 0, n), dtype=jnp.uint32))
+    commits_p0 = commit_columns(srs, adv_coeffs[:, :p0]) if p0 else []
     for pt in commits_p0:
         tr.write_point(pt)
 
+    _log("phase-0 committed")
     gamma = tr.challenge()
 
     # ---- full witness with the real challenge ------------------------------
-    values1, instance1 = witgen(inputs, jnp.asarray(F.encode(FR, [gamma]))[:, 0])
+    values1, instance1 = witgen(
+        inputs, jnp.asarray(F.encode(FR, [gamma]))[:, 0])
     # instance cells must be challenge-independent (they are absorbed into
-    # the transcript before gamma): guard against circuits exposing
-    # phase-1 values
+    # the transcript before gamma)
     assert np.array_equal(np.asarray(instance), np.asarray(instance1)), \
         "instance values depend on the challenge"
-    adv = finish_advice(values1)
-    adv_coeffs = N.intt(dom, adv)
+    adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
+                                scatter_idx, blind)
     commits_p1 = commit_columns(srs, adv_coeffs[:, p0:])
     for pt in commits_p1:
         tr.write_point(pt)
 
-    polys = {}  # name -> (L, n) coeffs (Montgomery)
+    polys = {}
     for i in range(asm.num_advice):
         polys[f"adv{i}"] = adv_coeffs[:, i]
-
-    # fixed + sigma from pk
     for i in range(pk.fixed_coeffs.shape[1]):
         polys[f"fixed{i}"] = pk.fixed_coeffs[:, i]
     for i in range(pk.sigma_coeffs.shape[1]):
         polys[f"sigma{i}"] = pk.sigma_coeffs[:, i]
 
-    # instance polynomial (not committed; used in permutation terms)
     inst_vals = jnp.zeros((L, n), dtype=jnp.uint32)
     if instance.shape[1]:
         inst_vals = inst_vals.at[:, : instance.shape[1]].set(
-            F.to_mont(FR, instance)
-        )
+            F.to_mont(FR, instance))
     polys["instance"] = N.intt(dom, inst_vals)
 
-    # ---- lookup: multiplicities -------------------------------------------
-    shape = pk.vk.shape
+    # ---- lookup multiplicities ---------------------------------------------
     nlk = asm.num_lk_cols
     lk_base = asm.num_advice - nlk
+    ngroups = PROTO.num_lookup_groups(shape)
+    table_std = np.zeros(n, dtype=np.uint64)
+    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
+    table_vals = F.to_mont(FR, jnp.asarray(F.encode_ints_np(list(table_std))))
+
+    h_coeffs = None
     if nlk:
-        lk_vals_std = values1[CTX_LK][0]  # byte values fit in limb 0
+        lk_vals_std = values1[CTX_LK][0]
         counts = jnp.bincount(lk_vals_std.astype(jnp.int32),
                               length=1 << LOOKUP_BITS)
-        pad_zeros = nlk * u - lk_vals_std.shape[0]
-        counts = counts.at[0].add(pad_zeros)
+        counts = counts.at[0].add(nlk * u - lk_vals_std.shape[0])
         m_vals_std = jnp.zeros((L, n), dtype=jnp.uint32)
         m_vals_std = m_vals_std.at[0, : 1 << LOOKUP_BITS].set(
-            counts.astype(jnp.uint32)
-        )
-        # counts can exceed 2^13; renormalize limbs
+            counts.astype(jnp.uint32))
         m_vals_std, _ = F._carry_chain(m_vals_std)
         m_vals = F.to_mont(FR, m_vals_std)
         m_vals = jnp.concatenate(
-            [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1
-        )
+            [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
         polys["lookup_m"] = N.intt(dom, m_vals)
         for pt in commit_columns(srs, polys["lookup_m"][:, None]):
             tr.write_point(pt)
 
+    _log("phase-1 + multiplicities committed")
     beta_l = tr.challenge()
-    beta_lm = _enc_mont_scalar(beta_l)  # Montgomery of beta_l
+    beta_lm = _enc_mont_scalar(beta_l)
 
-    # table values (Montgomery Lagrange)
-    table_std = np.zeros(n, dtype=np.uint64)
-    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
-    table_vals = F.to_mont(FR, jnp.asarray(
-        F.encode_ints_np(list(table_std))))
-
-    lookup_aux_names = []
     if nlk:
-        # h_g = sum_{i in group} 1/(beta + l_i) on active rows
-        lk_cols = adv[:, lk_base:, :]  # (L, nlk, n) Montgomery values
-        bcast = jnp.broadcast_to(beta_lm[:, None, None], lk_cols.shape)
-        denoms = F.add(FR, lk_cols, bcast)
-        inv = F.batch_inv(FR, denoms.reshape(L, -1)).reshape(denoms.shape)
-        ngroups = PROTO.num_lookup_groups(shape)
-        hs = []
-        for g in range(ngroups):
-            sl = inv[:, g * LOOKUP_GROUP:(g + 1) * LOOKUP_GROUP, :]
-            hs.append(F.tree_sum_mod(FR, sl, axis=1))
-        h_all = jnp.stack(hs, axis=1)  # (L, ngroups, n)
-        # g_t = M / (beta + T)
-        tden = F.add(FR, table_vals,
-                     jnp.broadcast_to(beta_lm[:, None], table_vals.shape))
-        tinv = F.batch_inv(FR, tden)
-        g_vals = F.mont_mul(FR, m_vals, tinv)
-        # phi: prefix sums of S = sum_g h_g - g_t over active rows
-        s_vals = F.sub(FR, F.tree_sum_mod(FR, h_all, axis=1), g_vals)
-        act_mask = (jnp.arange(n) < u)
-        s_vals = jnp.where(act_mask[None], s_vals, jnp.zeros_like(s_vals))
-        moved = jnp.moveaxis(s_vals, -1, 0)[:, :, None]
-
-        def addop(x, y):
-            return jnp.moveaxis(
-                F.add(FR, jnp.moveaxis(x, 1, 0), jnp.moveaxis(y, 1, 0)), 0, 1
-            )
-
-        pref = jax.lax.associative_scan(addop, moved)[..., 0]  # (n, L)
-        pref = jnp.moveaxis(pref, 0, -1)  # phi(r+1) values
-        phi = jnp.concatenate(
-            [jnp.zeros((L, 1), dtype=jnp.uint32), pref[:, :-1]], axis=1
+        h_all, h_coeffs, g_coeffs, phi_coeffs = _j_lookup_aux(
+            dom, u, adv[:, lk_base:, :], m_vals, table_vals, beta_lm,
+            jnp.asarray(_rand_field_rows(rng, ngroups, n - u)),
+            jnp.asarray(_rand_field_rows(rng, 1, n - u)[:, 0]),
+            jnp.asarray(_rand_field_rows(rng, 1, n - u - 1)[:, 0]),
         )
-        # rows > u random; row u must stay = phi(u) (boundary constraint)
-        phi = jnp.concatenate(
-            [phi[:, : u + 1], _rand_field_rows(rng, 1, n - u - 1)[:, 0]],
-            axis=1,
-        )
-        # blind h/g rows >= u
-        h_all = jnp.concatenate(
-            [h_all[:, :, :u],
-             _rand_field_rows(rng, ngroups, n - u)], axis=2)
-        g_vals = jnp.concatenate(
-            [g_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
-
         for g in range(ngroups):
-            polys[f"lookup_h{g}"] = N.intt(dom, h_all[:, g])
-            lookup_aux_names.append(f"lookup_h{g}")
-        polys["lookup_g"] = N.intt(dom, g_vals)
-        polys["lookup_phi"] = N.intt(dom, phi)
-        lookup_aux_names += ["lookup_g", "lookup_phi"]
-        aux = jnp.stack([polys[nm] for nm in lookup_aux_names], axis=1)
+            polys[f"lookup_h{g}"] = h_coeffs[:, g]
+        polys["lookup_g"] = g_coeffs
+        polys["lookup_phi"] = phi_coeffs
+        aux = jnp.concatenate(
+            [h_coeffs, g_coeffs[:, None], phi_coeffs[:, None]], axis=1)
         for pt in commit_columns(srs, aux):
             tr.write_point(pt)
 
+    _log("lookup helpers committed")
     beta_p = tr.challenge()
     gamma_p = tr.challenge()
     beta_pm = _enc_mont_scalar(beta_p)
@@ -238,273 +485,149 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     # ---- permutation grand products ----------------------------------------
     P = asm.num_perm_cols
     nz = PROTO.num_perm_chunks(shape)
-    # permutation column values: advice cols ++ const fixed col ++ instance
-    fixed_vals_const = N.ntt(dom, pk.fixed_coeffs[:, 0])  # const column
+    fixed_vals_const = N.ntt(dom, pk.fixed_coeffs[:, 0])
     perm_vals = jnp.concatenate(
-        [adv, fixed_vals_const[:, None], inst_vals[:, None]], axis=1
-    )  # (L, P, n)
+        [adv, fixed_vals_const[:, None], inst_vals[:, None]], axis=1)
 
-    # id and sigma factors on active rows
     delta_pows = [1] * P
     for i in range(1, P):
         delta_pows[i] = delta_pows[i - 1] * delta % FR.p
-    dpow = jnp.asarray(F.encode(FR, delta_pows, mont=True))  # (L, P)
+    dpow = jnp.asarray(F.encode(FR, delta_pows, mont=True))
     wpow = F.power_series(FR, _enc_mont_scalar(dom.omega), n)
-    idv = F.mont_mul(
-        FR,
-        jnp.broadcast_to(dpow[:, :, None], (L, P, n)),
-        jnp.broadcast_to(wpow[:, None, :], (L, P, n)),
+
+    z_lag, z_coeffs = _j_perm_z(
+        dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
+        jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
     )
-    bb = jnp.broadcast_to(beta_pm[:, None, None], (L, P, n))
-    gg = jnp.broadcast_to(gamma_pm[:, None, None], (L, P, n))
-    num = F.add(FR, perm_vals, F.add(FR, F.mont_mul(FR, bb, idv), gg))
-    den = F.add(FR, perm_vals,
-                F.add(FR, F.mont_mul(FR, bb, pk.sigma_vals), gg))
-    den_inv = F.batch_inv(FR, den.reshape(L, -1)).reshape(den.shape)
-    ratio = F.mont_mul(FR, num, den_inv)  # (L, P, n)
-    # chunk products over columns
-    chunk_ratios = []
     for j in range(nz):
-        sl = ratio[:, j * PERM_CHUNK:(j + 1) * PERM_CHUNK, :u]
-        prod = sl[:, 0]
-        for i in range(1, sl.shape[1]):
-            prod = F.mont_mul(FR, prod, sl[:, i])
-        chunk_ratios.append(prod)
-    # running products: Z_j(0) = chain, Z_j(r+1) = Z_j(r) * R_j(r)
-    one_m = _enc_mont_scalar(1)
-    z_polys = []
-    z_lagrange = []
-    chain = jnp.broadcast_to(one_m[:, None], (L, 1))[:, 0]
+        polys[f"perm_z{j}"] = z_coeffs[:, j]
+    for pt in commit_columns(srs, z_coeffs):
+        tr.write_point(pt)
 
-    def mulop(x, y):
-        return jnp.moveaxis(
-            F.mont_mul(FR, jnp.moveaxis(x, 1, 0), jnp.moveaxis(y, 1, 0)), 0, 1
-        )
-
-    for j in range(nz):
-        moved = jnp.moveaxis(chunk_ratios[j], -1, 0)[:, :, None]
-        pref = jax.lax.associative_scan(mulop, moved)[..., 0]
-        pref = jnp.moveaxis(pref, 0, -1)  # (L, u): products up to r+1
-        zvals = jnp.concatenate(
-            [jnp.broadcast_to(one_m[:, None], (L, 1)), pref], axis=1
-        )  # rows 0..u
-        zvals = F.mont_mul(
-            FR, zvals, jnp.broadcast_to(chain[:, None], zvals.shape)
-        )
-        chain = zvals[:, -1]  # Z_j(u)
-        zvals = jnp.concatenate(
-            [zvals, _rand_field_rows(rng, 1, n - u - 1)[:, 0]], axis=1
-        )
-        if debug:
-            z_lagrange.append(zvals)
-        z_polys.append(N.intt(dom, zvals))
-    # final boundary: Z_{nz-1}(u) must be 1 (whole permutation telescopes)
-    for j in range(nz):
-        polys[f"perm_z{j}"] = z_polys[j]
-    if nz:
-        zc = commit_columns(srs, jnp.stack(z_polys, axis=1))
-        for pt in zc:
-            tr.write_point(pt)
-
-    # random blinding poly (vanishing argument zk)
-    rand_coeffs = _rand_field_rows(rng, 1, n)[:, 0]
+    rand_coeffs = jnp.asarray(_rand_field_rows(rng, 1, n)[:, 0])
     polys["random"] = rand_coeffs
     for pt in commit_columns(srs, rand_coeffs[:, None]):
         tr.write_point(pt)
 
+    _log("permutation products + random committed")
     y = tr.challenge()
 
     if debug:
         _debug_terms_on_domain(
             pk, dom, adv, inst_vals, gamma, beta_l, beta_p, gamma_p,
-            z_lagrange, locals())
+            [z_lag[:, j] for j in range(nz)],
+            dict(h_all=h_all if nlk else None,
+                 g_vals=N.ntt(dom, g_coeffs) if nlk else None,
+                 m_vals=m_vals if nlk else None,
+                 phi=N.ntt(dom, phi_coeffs) if nlk else None,
+                 table_vals=table_vals, dpow=dpow, wpow=wpow))
 
     # ---- quotient on the extended coset ------------------------------------
     coset_gen = delta
     cpow = F.power_series(FR, _enc_mont_scalar(coset_gen), ext_n)
     cpow_inv = F.power_series(
-        FR, _enc_mont_scalar(pow(coset_gen, FR.p - 2, FR.p)),
-        ext_n,
-    )
-    # the literal polynomial X evaluated over the coset: g * omega_ext^j
+        FR, _enc_mont_scalar(pow(coset_gen, FR.p - 2, FR.p)), ext_n)
     xcoset = F.mont_mul(
         FR,
         F.power_series(FR, _enc_mont_scalar(dom_ext.omega), ext_n),
-        jnp.broadcast_to(_enc_mont_scalar(coset_gen)[:, None],
-                         (L, ext_n)),
+        jnp.broadcast_to(_enc_mont_scalar(coset_gen)[:, None], (L, ext_n)),
     )
-
-    def coset_eval(coeffs):
-        """(L, ..., n) coeffs -> (L, ..., ext_n) coset evaluations."""
-        pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, ext_n - coeffs.shape[-1])]
-        cp = jnp.pad(coeffs, pad)
-        shaped = cpow.reshape((L,) + (1,) * (coeffs.ndim - 2) + (ext_n,))
-        return N.ntt(dom_ext, F.mont_mul(FR, cp, jnp.broadcast_to(shaped, cp.shape)))
 
     terms = PROTO.build_terms(shape)
     ny = len(terms)
-    y_pows_host = [1] * ny
+    y_pows = [1] * ny
     for i in range(1, ny):
-        y_pows_host[i] = y_pows_host[i - 1] * y % FR.p
-    # folding acc = sum_i y^(ny-1-i) * term_i
-    y_w = [y_pows_host[ny - 1 - i] for i in range(ny)]
+        y_pows[i] = y_pows[i - 1] * y % FR.p
+    y_w = [y_pows[ny - 1 - i] for i in range(ny)]
 
     fixed_names = PROTO.fixed_poly_names(shape)
-    fixed_index = {nm: i for i, nm in enumerate(fixed_names)}
+    fidx = {nm: i for i, nm in enumerate(fixed_names)}
 
-    def fixed_coset(nm):
-        return coset_eval(pk.fixed_coeffs[:, fixed_index[nm]])
+    def fco(nm):
+        return polys[f"fixed{fidx[nm]}"]
 
-    def rolled(ev, rot):
-        return jnp.roll(ev, -EXT_FACTOR * rot, axis=-1)
-
+    gamma_m = _enc_mont_scalar(gamma)
     acc = jnp.zeros((L, ext_n), dtype=jnp.uint32)
 
-    def fold(acc, term_ev, w):
-        wm = _enc_mont_scalar(w)
-        return F.add(FR, acc, F.mont_mul(
-            FR, term_ev, jnp.broadcast_to(wm[:, None], term_ev.shape)))
-
-    # cache the advice coset evals we need twice (gates + permutation):
-    # compute on the fly, batched per chunk to bound memory.
-    gamma_m = _enc_mont_scalar(gamma)
-
-    ti = 0
-    for kind, arg in terms:
-        w = y_w[ti]
-        ti += 1
+    for ti, (kind, arg) in enumerate(terms):
+        w = _enc_mont_scalar(y_w[ti])
         if kind == "gate":
-            col = arg
-            a = coset_eval(polys[f"adv{col}"])
-            sel = fixed_coset(f"sel_{col}")
-            t = F.add(FR, a, F.mont_mul(FR, rolled(a, 1), rolled(a, 2)))
-            t = F.sub(FR, t, rolled(a, 3))
-            acc = fold(acc, F.mont_mul(FR, sel, t), w)
+            acc = _j_gate_term(dom_ext, acc, w, polys[f"adv{arg}"],
+                               fco(f"sel_{arg}"), cpow)
         elif kind == "challenge":
-            col = arg
-            a = coset_eval(polys[f"adv{col}"])
-            sel = fixed_coset(f"qgamma_{col}")
-            gb = jnp.broadcast_to(gamma_m[:, None], a.shape)
-            acc = fold(acc, F.mont_mul(FR, sel, F.sub(FR, a, gb)), w)
+            acc = _j_chal_term(dom_ext, acc, w, polys[f"adv{arg}"],
+                               fco(f"qgamma_{arg}"), cpow, gamma_m)
         elif kind == "lookup_h":
             g = arg
-            qact = fixed_coset("q_act")
-            cols = range(g * LOOKUP_GROUP,
-                         min((g + 1) * LOOKUP_GROUP, nlk))
-            ls = [coset_eval(polys[f"adv{lk_base + i}"]) for i in cols]
-            bb2 = jnp.broadcast_to(beta_lm[:, None], ls[0].shape)
-            facs = [F.add(FR, x, bb2) for x in ls]
-            h = coset_eval(polys[f"lookup_h{g}"])
-            prod_all = facs[0]
-            for f2 in facs[1:]:
-                prod_all = F.mont_mul(FR, prod_all, f2)
-            lhs = F.mont_mul(FR, h, prod_all)
-            # sum of products-of-others
-            rhs = jnp.zeros_like(lhs)
-            for j in range(len(facs)):
-                pr = None
-                for kk in range(len(facs)):
-                    if kk == j:
-                        continue
-                    pr = facs[kk] if pr is None else F.mont_mul(FR, pr, facs[kk])
-                if pr is None:
-                    pr = jnp.broadcast_to(
-                        _enc_mont_scalar(1)[:, None], lhs.shape)
-                rhs = F.add(FR, rhs, pr)
-            acc = fold(acc, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs)), w)
+            cols = list(range(g * LOOKUP_GROUP,
+                              min((g + 1) * LOOKUP_GROUP, nlk)))
+            lstack = jnp.stack(
+                [polys[f"adv{lk_base + i}"] for i in cols], axis=1)
+            acc = _j_lookup_h_term(dom_ext, acc, w, polys[f"lookup_h{g}"],
+                                   lstack, fco("q_act"), cpow, beta_lm)
         elif kind == "lookup_table":
-            qact = fixed_coset("q_act")
-            g_ev = coset_eval(polys["lookup_g"])
-            t_ev = fixed_coset("table")
-            m_ev = coset_eval(polys["lookup_m"])
-            bb2 = jnp.broadcast_to(beta_lm[:, None], t_ev.shape)
-            t0 = F.sub(FR, F.mont_mul(FR, g_ev, F.add(FR, t_ev, bb2)), m_ev)
-            acc = fold(acc, F.mont_mul(FR, qact, t0), w)
+            acc = _j_lookup_table_term(
+                dom_ext, acc, w, polys["lookup_g"], fco("table"),
+                polys["lookup_m"], fco("q_act"), cpow, beta_lm)
         elif kind == "lookup_acc":
-            qact = fixed_coset("q_act")
-            phi = coset_eval(polys["lookup_phi"])
-            sh = F.sub(FR, rolled(phi, 1), phi)
-            hsum = jnp.zeros_like(phi)
-            for g in range(PROTO.num_lookup_groups(shape)):
-                hsum = F.add(FR, hsum, coset_eval(polys[f"lookup_h{g}"]))
-            g_ev = coset_eval(polys["lookup_g"])
-            t0 = F.add(FR, F.sub(FR, sh, hsum), g_ev)
-            acc = fold(acc, F.mont_mul(FR, qact, t0), w)
+            acc = _j_lookup_acc_term(
+                dom_ext, acc, w, polys["lookup_phi"], h_coeffs,
+                polys["lookup_g"], fco("q_act"), cpow)
         elif kind == "lookup_first":
-            acc = fold(acc, F.mont_mul(
-                FR, fixed_coset("q_first"),
-                coset_eval(polys["lookup_phi"])), w)
+            acc = _j_sel_poly_term(dom_ext, acc, w, polys["lookup_phi"],
+                                   fco("q_first"), cpow)
         elif kind == "lookup_last":
-            acc = fold(acc, F.mont_mul(
-                FR, fixed_coset("q_last"),
-                coset_eval(polys["lookup_phi"])), w)
+            acc = _j_sel_poly_term(dom_ext, acc, w, polys["lookup_phi"],
+                                   fco("q_last"), cpow)
         elif kind == "perm_first":
-            z0 = coset_eval(polys["perm_z0"])
-            onem = jnp.broadcast_to(_enc_mont_scalar(1)[:, None], z0.shape)
-            acc = fold(acc, F.mont_mul(
-                FR, fixed_coset("q_first"), F.sub(FR, z0, onem)), w)
+            acc = _j_sel_poly_minus_one_term(
+                dom_ext, acc, w, polys["perm_z0"], fco("q_first"), cpow)
         elif kind == "perm_chunk":
             j = arg
-            qact = fixed_coset("q_act")
-            z = coset_eval(polys[f"perm_z{j}"])
-            zr = rolled(z, 1)
-            lhs, rhs = zr, z
-            for i in range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)):
+            idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
+            vstack, sstack = [], []
+            for i in idxs:
                 if i < asm.num_advice:
-                    v = coset_eval(polys[f"adv{i}"])
+                    vstack.append(polys[f"adv{i}"])
                 elif i == asm.num_advice:
-                    v = fixed_coset("const")
+                    vstack.append(fco("const"))
                 else:
-                    v = coset_eval(polys["instance"])
-                sig = coset_eval(polys[f"sigma{i}"])
-                bb2 = jnp.broadcast_to(beta_pm[:, None], v.shape)
-                gg2 = jnp.broadcast_to(gamma_pm[:, None], v.shape)
-                lhs = F.mont_mul(FR, lhs, F.add(
-                    FR, v, F.add(FR, F.mont_mul(FR, bb2, sig), gg2)))
-                did = F.mont_mul(
-                    FR, jnp.broadcast_to(dpow[:, i][:, None], xcoset.shape),
-                    xcoset)
-                rhs = F.mont_mul(FR, rhs, F.add(
-                    FR, v, F.add(FR, F.mont_mul(FR, bb2, did), gg2)))
-            acc = fold(acc, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs)), w)
+                    vstack.append(polys["instance"])
+                sstack.append(polys[f"sigma{i}"])
+            acc = _j_perm_chunk_term(
+                dom_ext, acc, w, polys[f"perm_z{j}"],
+                jnp.stack(vstack, axis=1), jnp.stack(sstack, axis=1),
+                fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
+                beta_pm, gamma_pm)
         elif kind == "perm_chain":
             j = arg
-            zj = coset_eval(polys[f"perm_z{j}"])
-            zprev = coset_eval(polys[f"perm_z{j - 1}"])
-            zprev_u = jnp.roll(zprev, -EXT_FACTOR * u, axis=-1)
-            acc = fold(acc, F.mont_mul(
-                FR, fixed_coset("q_first"), F.sub(FR, zj, zprev_u)), w)
+            acc = _j_perm_chain_term(
+                dom_ext, u, acc, w, polys[f"perm_z{j}"],
+                polys[f"perm_z{j - 1}"], fco("q_first"), cpow)
         elif kind == "perm_last":
-            zl = coset_eval(polys[f"perm_z{nz - 1}"])
-            onem = jnp.broadcast_to(_enc_mont_scalar(1)[:, None], zl.shape)
-            acc = fold(acc, F.mont_mul(
-                FR, fixed_coset("q_last"), F.sub(FR, zl, onem)), w)
+            acc = _j_sel_poly_minus_one_term(
+                dom_ext, acc, w, polys[f"perm_z{nz - 1}"], fco("q_last"),
+                cpow)
         else:
             raise AssertionError(kind)
 
-    # divide by Z_H on the coset: Z_H(coset_j) = g^n * w_ext^(n*j) - 1
     zh_cycle = []
     gn = pow(coset_gen, n, FR.p)
     for j in range(EXT_FACTOR):
         val = (gn * pow(dom_ext.omega, n * j, FR.p) - 1) % FR.p
         zh_cycle.append(pow(val, FR.p - 2, FR.p))
     zh_inv = jnp.tile(
-        jnp.asarray(F.encode(FR, zh_cycle, mont=True)), (1, ext_n // EXT_FACTOR)
-    )
-    h_ev = F.mont_mul(FR, acc, zh_inv)
-    h_coeffs_full = N.intt(dom_ext, h_ev)
-    shaped = cpow_inv.reshape((L, ext_n))
-    h_coeffs_full = F.mont_mul(FR, h_coeffs_full, shaped)
-    h_chunks = [
-        h_coeffs_full[:, i * n:(i + 1) * n]
-        for i in range(PROTO.NUM_QUOT_CHUNKS)
-    ]
+        jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
+        (1, ext_n // EXT_FACTOR))
+    h_coeffs_full = _j_quot_finish(dom_ext, acc, zh_inv, cpow_inv)
+    h_chunks = [h_coeffs_full[:, i * n:(i + 1) * n]
+                for i in range(PROTO.NUM_QUOT_CHUNKS)]
     for i, hc in enumerate(h_chunks):
         polys[f"quot{i}"] = hc
-    hq = jnp.stack(h_chunks, axis=1)
-    for pt in commit_columns(srs, hq):
+    for pt in commit_columns(srs, jnp.stack(h_chunks, axis=1)):
         tr.write_point(pt)
 
+    _log("quotient committed")
     x = tr.challenge()
 
     # ---- evaluations --------------------------------------------------------
@@ -520,16 +643,19 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     xpows = {r: F.power_series(FR, _enc_mont_scalar(z), n)
              for r, z in points.items()}
 
-    def eval_poly(coeffs, rot):
-        prods = F.mont_mul(FR, coeffs, xpows[rot])
-        return F.tree_sum_mod(FR, prods, axis=-1)
-
-    evals = {}
+    # batch evals per rotation: one device call per opening point
+    by_rot = {}
     for name, rot in sched:
-        ev = eval_poly(polys[name], rot)
-        val = F.decode(FR, ev[:, None], mont=True)[0]
-        evals[(name, rot)] = val
-        tr.write_scalar(val)
+        by_rot.setdefault(rot, []).append(name)
+    evals = {}
+    for rot, names in by_rot.items():
+        stack = jnp.stack([polys[nm] for nm in names], axis=1)
+        evs = _j_evals_batch(stack, xpows[rot])  # (L, K)
+        vals = F.decode(FR, evs, mont=True)
+        for nm, vv in zip(names, vals):
+            evals[(nm, rot)] = vv
+    for name, rot in sched:
+        tr.write_scalar(evals[(name, rot)])
 
     if debug:
         from . import verifier as VF_mod
@@ -538,41 +664,40 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
               "/", int(np.prod(tail.shape)))
         inst_x = VF_mod.instance_eval(inst_ints, x, k)
         acc_x = VF_mod.fold_constraints(
-            pk.vk.shape, evals, gamma, beta_l, beta_p, gamma_p, y, x,
-            inst_x, delta)
+            shape, evals, gamma, beta_l, beta_p, gamma_p, y, x, inst_x,
+            delta)
         zh_x = (pow(x, n, FR.p) - 1) % FR.p
         h_x = 0
         for i in range(PROTO.NUM_QUOT_CHUNKS):
             h_x = (h_x + pow(x, n * i, FR.p) * evals[(f"quot{i}", 0)]) % FR.p
         print("DEBUG identity F(x) == Z_H(x)h(x):", acc_x == zh_x * h_x % FR.p)
 
+    _log("evaluations written")
     v = tr.challenge()
 
-    # ---- GWC multiopen: one witness poly per opening point -----------------
+    # ---- GWC multiopen ------------------------------------------------------
     w_commits = []
     for rot in PROTO.ROTATIONS:
         group = [(nm, r) for (nm, r) in sched if r == rot]
         if not group:
             continue
-        comb = jnp.zeros((L, n), dtype=jnp.uint32)
-        vw = 1
-        combined_eval = 0
+        vpows_host, combined_eval, vw = [], 0, 1
         for nm, r in group:
-            wm = _enc_mont_scalar(vw)
-            comb = F.add(FR, comb, F.mont_mul(
-                FR, polys[nm], jnp.broadcast_to(wm[:, None], (L, n))))
+            vpows_host.append(vw)
             combined_eval = (combined_eval + vw * evals[(nm, r)]) % FR.p
             vw = vw * v % FR.p
-        # subtract combined eval from constant term, divide by (X - z)
-        ce = _enc_mont_scalar(combined_eval)
-        comb = comb.at[:, 0].set(
-            F.sub(FR, comb[:, 0:1], ce[:, None])[:, 0])
+        stack = jnp.stack([polys[nm] for nm, _ in group], axis=1)
+        vpows = jnp.asarray(F.encode(FR, vpows_host, mont=True))
+        comb = _j_combine(stack, vpows)
         z = points[rot]
-        wpoly = _divide_linear(comb, z)
+        wpoly = _j_divide_linear(
+            comb, _enc_mont_scalar(combined_eval), _enc_mont_scalar(z),
+            _enc_mont_scalar(pow(z, FR.p - 2, FR.p)))
         w_commits.append(commit_columns(srs, wpoly[:, None])[0])
     for pt in w_commits:
         tr.write_point(pt)
 
+    _log("multiopen witnesses committed; proof done")
     return tr.proof_bytes()
 
 
@@ -585,7 +710,7 @@ def _debug_terms_on_domain(pk, dom, adv, inst_vals, gamma, beta_l, beta_p,
     n, u, P = asm.n, asm.u, asm.num_perm_cols
     nlk = asm.num_lk_cols
     lk_base = asm.num_advice - nlk
-    fixed_lag = N.ntt(dom, pk.fixed_coeffs)  # (L, NF, n)
+    fixed_lag = N.ntt(dom, pk.fixed_coeffs)
     fixed_names = PROTO.fixed_poly_names(shape)
     fidx = {nm: i for i, nm in enumerate(fixed_names)}
 
@@ -622,8 +747,7 @@ def _debug_terms_on_domain(pk, dom, adv, inst_vals, gamma, beta_l, beta_p,
                 FR, fl(f"qgamma_{arg}"), F.sub(FR, a, gb)))
         elif kind == "lookup_h":
             g = arg
-            from .assembly import LOOKUP_GROUP as LG
-            cols = range(g * LG, min((g + 1) * LG, nlk))
+            cols = range(g * LOOKUP_GROUP, min((g + 1) * LOOKUP_GROUP, nlk))
             facs = [F.add(FR, adv[:, lk_base + i],
                           jnp.broadcast_to(beta_lm[:, None], (L, n)))
                     for i in cols]
@@ -670,11 +794,10 @@ def _debug_terms_on_domain(pk, dom, adv, inst_vals, gamma, beta_l, beta_p,
                 FR, fl("q_first"), F.sub(FR, z0, onem)))
         elif kind == "perm_chunk":
             j = arg
-            from .assembly import PERM_CHUNK as PC
             z = z_lagrange[j]
             lhs, rhs = roll1(z), z
             fvc = N.ntt(dom, pk.fixed_coeffs[:, 0])
-            for i in range(j * PC, min((j + 1) * PC, P)):
+            for i in range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)):
                 if i < asm.num_advice:
                     v = adv[:, i]
                 elif i == asm.num_advice:
@@ -701,31 +824,3 @@ def _debug_terms_on_domain(pk, dom, adv, inst_vals, gamma, beta_l, beta_p,
             onem = jnp.broadcast_to(one_m[:, None], (L, n))
             report("perm_last", F.mont_mul(
                 FR, fl("q_last"), F.sub(FR, z_lagrange[nz - 1], onem)))
-
-
-def _divide_linear(coeffs, z: int):
-    """(f(X) - f(z))/(X - z) assuming f(z)'s constant adjustment already
-    applied (i.e. coeffs encodes f with f(z) subtracted). Synthetic
-    division: b_j = sum_{i > j} a_i z^(i-j-1), computed log-depth as
-    b_j = z^(-j-1) * suffix_sum(a_i z^i)."""
-    n = coeffs.shape[-1]
-    zm = _enc_mont_scalar(z)
-    zim = _enc_mont_scalar(pow(z, FR.p - 2, FR.p))
-    zp = F.power_series(FR, zm, n)         # z^i
-    zip_ = F.power_series(FR, zim, n + 1)  # z^-i
-    azi = F.mont_mul(FR, coeffs, zp)
-    # suffix sums S_j = sum_{i >= j} a_i z^i
-    moved = jnp.moveaxis(azi, -1, 0)[:, :, None]
-
-    def addop(xx, yy):
-        return jnp.moveaxis(
-            F.add(FR, jnp.moveaxis(xx, 1, 0), jnp.moveaxis(yy, 1, 0)), 0, 1
-        )
-
-    suf = jax.lax.associative_scan(addop, moved, reverse=True)[..., 0]
-    suf = jnp.moveaxis(suf, 0, -1)  # (L, n)
-    # b_j = z^{-(j+1)} * S_{j+1}; S_n = 0
-    s_next = jnp.concatenate(
-        [suf[:, 1:], jnp.zeros((L, 1), dtype=jnp.uint32)], axis=1
-    )
-    return F.mont_mul(FR, s_next, zip_[:, 1:])

@@ -127,7 +127,7 @@ def main(argv=None):
         proof = PV.prove(pk, srs, circuit, inputs)
         t0 = _stage("prove", t0)
         gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-        _, _, instance = TC.run_circuit(circuit, inputs, gamma0)
+        _, instance = TC.make_witgen(circuit)(inputs, gamma0)
         inst = F.decode(F.FR, instance)
         np.savez_compressed(
             snark_path, proof=np.frombuffer(proof, dtype=np.uint8),

@@ -1,18 +1,26 @@
 """Multi-scalar multiplication over BN254 G1 (TPU Pippenger).
 
 TPU-native replacement for halo2-axiom's rayon Pippenger (SURVEY.md §2.2).
-Shape of the algorithm (designed for XLA, not translated from CPU code):
+Shape of the algorithm (designed for XLA's execution model, not translated
+from CPU code):
 
-  * signed c-bit digit decomposition (halves bucket memory);
-  * bucket accumulation as ONE `lax.scan` over the points: each step does a
-    batch of `K x W` branchless mixed-adds in parallel (K = number of MSMs
-    sharing the same base points -- e.g. circuit columns against the same
-    SRS -- and W = number of windows). TPU gets its parallelism from the
-    K*W*limb lanes, not from threads;
-  * bucket aggregation + window Horner as short vectorized scans.
+  * signed c-bit digit decomposition (c=4 by default: small windows trade
+    a few extra adds for massive lane parallelism and tiny bucket memory);
+  * bucket accumulation as ONE `lax.scan` where each step consumes R
+    points at once, conflict-free because every in-step point index r owns
+    its own bucket REPLICA: buckets have shape (K, W, R, B). Sequential
+    step count drops from n to n/R — on TPU the while-loop iteration
+    latency, not the adds, is what dominates;
+  * replica merge (log2 R vectorized EC-add levels), bucket sweep
+    (2(B-1) adds on K*W lanes) and window Horner as short scans;
+  * K MSMs sharing the same base points (circuit columns against one SRS)
+    run in the same kernel.
 
 All point math is the branch-free complete arithmetic from ops/curve.py,
-so scatter/gather order never hits a special case.
+so gather/scatter order never hits a special case.
+
+NOTE: the stages are three separately-jitted executables, not one: the
+fully-fused form crashes the TPU worker ("kernel fault") on v5e.
 """
 from __future__ import annotations
 
@@ -25,6 +33,9 @@ import jax.numpy as jnp
 from . import curve as C
 from . import field as F
 from .field import FQ, FR
+
+DEFAULT_C = 4
+DEFAULT_R = 64
 
 
 def num_windows(c: int) -> int:
@@ -67,86 +78,110 @@ def signed_digits(scalars, c: int):
     return digits  # (W, *batch) int32
 
 
-def msm(points, scalars, c: int = 8):
-    """Pippenger MSM: sum_i scalars[k, i] * points[i] for each k.
-
-    points:  (X, Y) affine G1, each (L, n) uint32 Montgomery-form Fq.
-    scalars: (L, K, n) uint32 standard-form Fr limbs.
-    Returns Jacobian (X, Y, Z) each (L, K).
-    """
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _msm_buckets(points, scalars, c, R):
+    """Bucket accumulation. Returns buckets (3, L, K, W, R, B)."""
     PX, PY = points
     L, n = PX.shape
     K = scalars.shape[1]
     W = num_windows(c)
     B = (1 << (c - 1)) + 1  # bucket 0 = trash/no-op
+    nsteps = n // R
 
     digits = signed_digits(scalars, c)  # (W, K, n) int32
-    digits_seq = jnp.moveaxis(digits, -1, 0)  # (n, W, K)
-    px_seq = jnp.moveaxis(PX, -1, 0)  # (n, L)
-    py_seq = jnp.moveaxis(PY, -1, 0)
+    # (n, W, K) -> (nsteps, W, K, R)
+    dseq = jnp.moveaxis(digits, -1, 0).reshape(nsteps, R, W, K)
+    dseq = jnp.moveaxis(dseq, 1, -1)  # (nsteps, W, K, R)
+    px_seq = jnp.moveaxis(PX, -1, 0).reshape(nsteps, R, L)
+    px_seq = jnp.moveaxis(px_seq, 1, -1)  # (nsteps, L, R)
+    py_seq = jnp.moveaxis(PY, -1, 0).reshape(nsteps, R, L)
+    py_seq = jnp.moveaxis(py_seq, 1, -1)
 
-    # bucket state: (L, K, W, B) per coordinate (vary_like: see field.py —
-    # scan carries must match the body's shard_map varying axes)
-    ref4 = (PX[:, :1, None, None] * jnp.uint32(0))
+    ref = jnp.broadcast_to(
+        (PX[:, :1, None, None, None] * jnp.uint32(0)), (L, K, W, R, B))
     bx = F.vary_like(jnp.broadcast_to(
-        F.const(FQ, FQ.to_mont_int(1), (K, W, B)), (L, K, W, B)),
-        jnp.broadcast_to(ref4, (L, K, W, B)))
+        F.const(FQ, FQ.to_mont_int(1), (K, W, R, B)), (L, K, W, R, B)), ref)
     by = bx
-    bz = F.vary_like(jnp.zeros((L, K, W, B), dtype=jnp.uint32),
-                     jnp.broadcast_to(ref4, (L, K, W, B)))
+    bz = F.vary_like(jnp.zeros((L, K, W, R, B), dtype=jnp.uint32), ref)
 
-    karange = jnp.arange(K)[:, None]
-    warange = jnp.arange(W)[None, :]
+    karange = jnp.arange(K)[:, None, None]
+    warange = jnp.arange(W)[None, :, None]
+    rarange = jnp.arange(R)[None, None, :]
 
     def step(state, xs):
         bx, by, bz = state
-        d, px, py = xs  # d: (W, K); px/py: (L,)
-        d = d.T  # (K, W)
-        idx = jnp.abs(d).astype(jnp.int32)  # (K, W)
+        d, px, py = xs  # d: (W, K, R); px/py: (L, R)
+        d = jnp.moveaxis(d, 0, 1)  # (K, W, R)
+        idx = jnp.abs(d).astype(jnp.int32)
         neg = d < 0
 
-        # gather buckets at idx: (L, K, W)
-        g_idx = idx[None, :, :, None]
-        gx = jnp.take_along_axis(bx, g_idx, axis=3)[..., 0]
-        gy = jnp.take_along_axis(by, g_idx, axis=3)[..., 0]
-        gz = jnp.take_along_axis(bz, g_idx, axis=3)[..., 0]
+        g_idx = idx[None, :, :, :, None]
+        gx = jnp.take_along_axis(bx, g_idx, axis=4)[..., 0]
+        gy = jnp.take_along_axis(by, g_idx, axis=4)[..., 0]
+        gz = jnp.take_along_axis(bz, g_idx, axis=4)[..., 0]
 
-        qx = jnp.broadcast_to(px[:, None, None], (L, K, W))
-        qy = jnp.broadcast_to(py[:, None, None], (L, K, W))
-        qy = F.select(neg, F.sub(FQ, F.zero((K, W)), qy), qy)
+        qx = jnp.broadcast_to(px[:, None, None, :], (L, K, W, R))
+        qy = jnp.broadcast_to(py[:, None, None, :], (L, K, W, R))
+        qy = F.select(neg, F.sub(FQ, F.zero((K, W, R)), qy), qy)
         live = (idx != 0).astype(jnp.uint32)
-        qnz = jnp.broadcast_to(live[None], (L, K, W))  # validity flag limbs
+        qnz = jnp.broadcast_to(live[None], (L, K, W, R))
 
         nx, ny, nz = C.point_add_mixed((gx, gy, gz), (qx, qy, qnz))
 
-        bx = bx.at[:, karange, warange, idx].set(nx)
-        by = by.at[:, karange, warange, idx].set(ny)
-        bz = bz.at[:, karange, warange, idx].set(nz)
+        bx = bx.at[:, karange, warange, rarange, idx].set(nx)
+        by = by.at[:, karange, warange, rarange, idx].set(ny)
+        bz = bz.at[:, karange, warange, rarange, idx].set(nz)
         return (bx, by, bz), None
 
-    (bx, by, bz), _ = jax.lax.scan(
-        step, (bx, by, bz), (digits_seq, px_seq, py_seq)
-    )
+    (bx, by, bz), _ = jax.lax.scan(step, (bx, by, bz),
+                                   (dseq, px_seq, py_seq))
+    return jnp.stack([bx, by, bz], axis=0)
 
-    # aggregate buckets: T_w = sum_{b=1..B-1} b * bucket_b via descending
-    # running sums; 2(B-1) sequential vectorized adds on (K, W) lanes.
-    ref3 = jnp.broadcast_to(PX[:, :1, None] * jnp.uint32(0), (L, K, W))
+
+@functools.partial(jax.jit, static_argnums=1)
+def _msm_aggregate(buckets, c):
+    """(3, L, K, W, R, B) -> per-window totals T_w (Jacobian (L, K, W)):
+    merge replicas by tree EC-adds, then T_w = sum_b b * bucket_b."""
+    bx, by, bz = buckets[0], buckets[1], buckets[2]
+    L2, K, W, R, B = bx.shape
+    # replica merge: log2 R pairwise-add levels over axis 3
+    P = (bx, by, bz)
+    r = R
+    while r > 1:
+        half = r // 2
+        even = tuple(t[:, :, :, :2 * half:2] for t in P)
+        odd = tuple(t[:, :, :, 1:2 * half:2] for t in P)
+        merged = C.point_add(even, odd)
+        if r % 2:
+            P = tuple(jnp.concatenate([m, t[:, :, :, -1:]], axis=3)
+                      for m, t in zip(merged, P))
+        else:
+            P = merged
+        r = P[0].shape[3]
+    bx, by, bz = (t[:, :, :, 0] for t in P)  # (L, K, W, B)
+
+    ref3 = jnp.broadcast_to(bx[:, :, :, 0] * jnp.uint32(0), (L2, K, W))
     inf = tuple(F.vary_like(t, ref3) for t in C.infinity_like((K, W)))
 
     def agg(state, b):
         run, acc = state
-        sel = B - 1 - b  # b = 0.. B-2 -> bucket B-1 .. 1
+        sel = B - 1 - b
         pt = (bx[..., sel], by[..., sel], bz[..., sel])
         run = C.point_add(run, pt)
         acc = C.point_add(acc, run)
         return (run, acc), None
 
     (_, totals), _ = jax.lax.scan(
-        agg, (inf, inf), jnp.arange(B - 1, dtype=jnp.int32)
-    )
-    # totals: Jacobian (L, K, W)
+        agg, (inf, inf), jnp.arange(B - 1, dtype=jnp.int32))
+    return jnp.stack(totals, axis=0)  # (3, L, K, W)
 
-    # window combine (Horner from the top window): acc = 2^c * acc + T_w
+
+@functools.partial(jax.jit, static_argnums=1)
+def _msm_horner(totals_arr, c):
+    """Window combine (Horner from the top window): acc = 2^c * acc + T_w."""
+    totals = (totals_arr[0], totals_arr[1], totals_arr[2])
+    L2, K, W = totals[0].shape
+
     def horner(w, acc):
         sel = W - 1 - w
 
@@ -157,10 +192,31 @@ def msm(points, scalars, c: int = 8):
         tw = tuple(t[..., sel] for t in totals)
         return C.point_add(acc, tw)
 
-    ref2 = jnp.broadcast_to(PX[:, :1] * jnp.uint32(0), (L, K))
+    ref2 = jnp.broadcast_to(totals[0][:, :, 0] * jnp.uint32(0), (L2, K))
     acc = tuple(F.vary_like(t, ref2) for t in C.infinity_like((K,)))
     acc = jax.lax.fori_loop(0, W, horner, acc)
     return acc
+
+
+def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R):
+    """Pippenger MSM: sum_i scalars[k, i] * points[i] for each k.
+
+    points:  (X, Y) affine G1, each (L, n) uint32 Montgomery-form Fq.
+    scalars: (L, K, n) uint32 standard-form Fr limbs.
+    Returns Jacobian (X, Y, Z) each (L, K).
+    """
+    PX, PY = points
+    n = PX.shape[1]
+    R = min(R, n)
+    if n % R:
+        pad = R - (n % R)
+        # dummy points with zero scalars (digit 0 -> no-op in the scan)
+        PX = jnp.pad(PX, [(0, 0), (0, pad)])
+        PY = jnp.pad(PY, [(0, 0), (0, pad)])
+        scalars = jnp.pad(scalars, [(0, 0), (0, 0), (0, pad)])
+    buckets = _msm_buckets((PX, PY), scalars, c, R)
+    totals = _msm_aggregate(buckets, c)
+    return _msm_horner(totals, c)
 
 
 def msm_host(points: list[C.AffinePoint], scalars: list[int]) -> C.AffinePoint:

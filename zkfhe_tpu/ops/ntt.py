@@ -48,11 +48,13 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
     return rev
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class Domain:
     """Multiplicative subgroup domain of size n = 2^k over Fr.
 
     Holds host ints + device twiddle tables (Montgomery form).
+    Hashable by (k, field) so it can be a static jit argument — the
+    tables are a pure function of those.
     """
 
     field: F.Field
@@ -98,6 +100,12 @@ class Domain:
             bitrev=_bit_reverse_perm(n),
         )
 
+    def __hash__(self):
+        return hash((self.k, self.field))
+
+    def __eq__(self, other):
+        return (self.k, self.field) == (other.k, other.field)
+
     @property
     def n(self) -> int:
         return 1 << self.k
@@ -133,12 +141,14 @@ def _ntt_core(domain: Domain, x, stage_tables):
     return x
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def ntt(domain: Domain, coeffs):
     """Forward NTT: coefficients (a_0..a_{n-1}, ascending) -> evaluations at
     [w^0..w^{n-1}]. Input/output (L, *batch, n) uint32 Montgomery form."""
     return _ntt_core(domain, coeffs, domain.stage_tw)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def intt(domain: Domain, evals):
     """Inverse NTT: evaluations -> coefficients (ascending order)."""
     x = _ntt_core(domain, evals, domain.stage_tw_inv)
@@ -171,6 +181,7 @@ def coset_intt(domain: Domain, evals, coset_gen: int):
     return scale_by_powers(domain.field, coeffs, ginv)
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def poly_mul(domain: Domain, a, b):
     """Exact product of two (Montgomery-form) polynomials via NTT.
 

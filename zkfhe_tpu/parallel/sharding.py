@@ -46,7 +46,8 @@ def default_mesh(axis: str = "chips", devices=None) -> Mesh:
 # Sharded MSM
 # ---------------------------------------------------------------------------
 
-def sharded_msm(points, scalars, mesh: Mesh, axis: str = "chips", c: int = 8):
+def sharded_msm(points, scalars, mesh: Mesh, axis: str = "chips",
+                c: int = M.DEFAULT_C):
     """MSM with the POINT axis sharded across the mesh.
 
     points: (X, Y) affine (L, n); scalars (L, K, n). Each chip runs a
@@ -57,7 +58,7 @@ def sharded_msm(points, scalars, mesh: Mesh, axis: str = "chips", c: int = 8):
     nd = mesh.shape[axis]
 
     def local(px, py, sc):
-        part = M.msm((px[0], py[0]), sc[0], c=c)  # (L, K) jacobian triple
+        part = M.msm((px[0], py[0]), sc[0], c=c)  # (L, K) jacobian
         stacked = jnp.stack(part, axis=0)  # (3, L, K)
         allp = jax.lax.all_gather(stacked, axis)  # (nd, 3, L, K)
         acc = tuple(allp[0, i] for i in range(3))

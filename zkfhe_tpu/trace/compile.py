@@ -124,14 +124,22 @@ def trace_layout(circuit_fn: Callable, example_inputs) -> Layout:
     return snapshot_layout(captured["bld"])
 
 
+_witgen_cache = {}
+
+
 def make_witgen(circuit_fn: Callable):
-    """Jitted witness generator: (inputs, gamma) -> (values, instance)."""
+    """Jitted witness generator: (inputs, gamma) -> (values, instance).
+    Memoized per circuit function so repeated proofs reuse the compiled
+    executable instead of retracing."""
+    if circuit_fn in _witgen_cache:
+        return _witgen_cache[circuit_fn]
 
     @jax.jit
     def witgen(inputs, gamma):
         _, values, instance = run_circuit(circuit_fn, inputs, gamma)
         return values, instance
 
+    _witgen_cache[circuit_fn] = witgen
     return witgen
 
 
