@@ -78,3 +78,16 @@ def test_verify_rejects_wrong_instance(setup):
     bad_inst = list(inst)
     bad_inst[0] = (bad_inst[0] + 1) % FR.p
     assert not VF.verify(pk.vk, proof, bad_inst)
+
+
+def test_prove_batch(setup):
+    from zkfhe_tpu.backend import batch as BT
+    inputs, srs, pk, _, inst = setup
+    inputs2 = make_inputs([7, 9, 11], [13, 15, 17])
+    proofs = BT.prove_batch(pk, srs, circuit, [inputs, inputs2],
+                            rng_seeds=[b"a", b"b"])
+    assert len(proofs) == 2 and proofs[0] != proofs[1]
+    assert VF.verify(pk.vk, proofs[0], inst)
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance2 = TC.run_circuit(circuit, inputs2, gamma0)
+    assert VF.verify(pk.vk, proofs[1], F.decode(FR, instance2))

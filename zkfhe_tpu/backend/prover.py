@@ -68,6 +68,30 @@ def _jit(n_static=1):
     return functools.partial(jax.jit, static_argnums=tuple(range(n_static)))
 
 
+class PolyStore:
+    """name -> (L, n) coefficient array, backed by stacked (L, K, n)
+    arrays sliced on demand so the ~650 polynomials of a proof are not
+    duplicated as individual buffers (device memory is the binding
+    constraint on the axon TPU)."""
+
+    def __init__(self):
+        self._direct = {}
+        self._stacks = {}
+
+    def __setitem__(self, key, value):
+        self._direct[key] = value
+
+    def add_stack(self, names, arr):
+        for i, nm in enumerate(names):
+            self._stacks[nm] = (arr, i)
+
+    def __getitem__(self, key):
+        if key in self._direct:
+            return self._direct[key]
+        arr, i = self._stacks[key]
+        return arr[:, i]
+
+
 # ---------------------------------------------------------------------------
 # Jitted stage kernels (compiled once per shape, cached persistently)
 # ---------------------------------------------------------------------------
@@ -88,7 +112,7 @@ def _wmul(w, t):
     return F.mont_mul(FR, t, jnp.broadcast_to(w[:, None], t.shape))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_gate_term(dom_ext, acc, w, a_coeffs, sel_coeffs, cpow):
     a = _j_coset(dom_ext, a_coeffs, cpow)
     sel = _j_coset(dom_ext, sel_coeffs, cpow)
@@ -97,7 +121,7 @@ def _j_gate_term(dom_ext, acc, w, a_coeffs, sel_coeffs, cpow):
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, t)))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_chal_term(dom_ext, acc, w, a_coeffs, qg_coeffs, cpow, gamma_m):
     a = _j_coset(dom_ext, a_coeffs, cpow)
     sel = _j_coset(dom_ext, qg_coeffs, cpow)
@@ -105,7 +129,7 @@ def _j_chal_term(dom_ext, acc, w, a_coeffs, qg_coeffs, cpow, gamma_m):
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, F.sub(FR, a, gb))))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_lookup_h_term(dom_ext, acc, w, h_coeffs, l_coeffs, qact_coeffs,
                      cpow, beta_m):
     """l_coeffs: (L, G, n) stacked lookup-column coeffs for this group."""
@@ -131,7 +155,7 @@ def _j_lookup_h_term(dom_ext, acc, w, h_coeffs, l_coeffs, qact_coeffs,
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs))))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_lookup_table_term(dom_ext, acc, w, g_coeffs, t_coeffs, m_coeffs,
                          qact_coeffs, cpow, beta_m):
     qact = _j_coset(dom_ext, qact_coeffs, cpow)
@@ -143,7 +167,7 @@ def _j_lookup_table_term(dom_ext, acc, w, g_coeffs, t_coeffs, m_coeffs,
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, t0)))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_lookup_acc_term(dom_ext, acc, w, phi_coeffs, h_stack, g_coeffs,
                        qact_coeffs, cpow):
     """h_stack: (L, NG, n) all group-helper coeffs."""
@@ -158,7 +182,7 @@ def _j_lookup_acc_term(dom_ext, acc, w, phi_coeffs, h_stack, g_coeffs,
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, t0)))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_sel_poly_term(dom_ext, acc, w, poly_coeffs, sel_coeffs, cpow):
     """sel * poly (lookup_first/lookup_last boundary terms)."""
     sel = _j_coset(dom_ext, sel_coeffs, cpow)
@@ -166,7 +190,7 @@ def _j_sel_poly_term(dom_ext, acc, w, poly_coeffs, sel_coeffs, cpow):
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, pv)))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_sel_poly_minus_one_term(dom_ext, acc, w, poly_coeffs, sel_coeffs,
                                cpow):
     """sel * (poly - 1) (perm_first/perm_last boundary terms)."""
@@ -176,7 +200,7 @@ def _j_sel_poly_minus_one_term(dom_ext, acc, w, poly_coeffs, sel_coeffs,
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, F.sub(FR, pv, onem))))
 
 
-@_jit(1)
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
 def _j_perm_chunk_term(dom_ext, acc, w, z_coeffs, v_coeffs, sig_coeffs,
                        qact_coeffs, cpow, xcoset, dpows, beta_m, gamma_m):
     """v_coeffs/sig_coeffs: (L, CH, n); dpows: (L, CH) delta^i Montgomery."""
@@ -198,7 +222,7 @@ def _j_perm_chunk_term(dom_ext, acc, w, z_coeffs, v_coeffs, sig_coeffs,
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs))))
 
 
-@_jit(2)
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
 def _j_perm_chain_term(dom_ext, u, acc, w, zj_coeffs, zprev_coeffs,
                        qfirst_coeffs, cpow):
     zj = _j_coset(dom_ext, zj_coeffs, cpow)
@@ -417,13 +441,12 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     for pt in commits_p1:
         tr.write_point(pt)
 
-    polys = {}
-    for i in range(asm.num_advice):
-        polys[f"adv{i}"] = adv_coeffs[:, i]
-    for i in range(pk.fixed_coeffs.shape[1]):
-        polys[f"fixed{i}"] = pk.fixed_coeffs[:, i]
-    for i in range(pk.sigma_coeffs.shape[1]):
-        polys[f"sigma{i}"] = pk.sigma_coeffs[:, i]
+    polys = PolyStore()
+    polys.add_stack([f"adv{i}" for i in range(asm.num_advice)], adv_coeffs)
+    polys.add_stack([f"fixed{i}" for i in range(pk.fixed_coeffs.shape[1])],
+                    pk.fixed_coeffs)
+    polys.add_stack([f"sigma{i}" for i in range(pk.sigma_coeffs.shape[1])],
+                    pk.sigma_coeffs)
 
     inst_vals = jnp.zeros((L, n), dtype=jnp.uint32)
     if instance.shape[1]:
@@ -467,8 +490,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             jnp.asarray(_rand_field_rows(rng, 1, n - u)[:, 0]),
             jnp.asarray(_rand_field_rows(rng, 1, n - u - 1)[:, 0]),
         )
-        for g in range(ngroups):
-            polys[f"lookup_h{g}"] = h_coeffs[:, g]
+        polys.add_stack([f"lookup_h{g}" for g in range(ngroups)], h_coeffs)
         polys["lookup_g"] = g_coeffs
         polys["lookup_phi"] = phi_coeffs
         aux = jnp.concatenate(
@@ -499,8 +521,8 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
         jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
     )
-    for j in range(nz):
-        polys[f"perm_z{j}"] = z_coeffs[:, j]
+    del perm_vals, adv  # large Lagrange buffers no longer needed
+    polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
     for pt in commit_columns(srs, z_coeffs):
         tr.write_point(pt)
 
@@ -620,11 +642,13 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
         (1, ext_n // EXT_FACTOR))
     h_coeffs_full = _j_quot_finish(dom_ext, acc, zh_inv, cpow_inv)
-    h_chunks = [h_coeffs_full[:, i * n:(i + 1) * n]
-                for i in range(PROTO.NUM_QUOT_CHUNKS)]
-    for i, hc in enumerate(h_chunks):
-        polys[f"quot{i}"] = hc
-    for pt in commit_columns(srs, jnp.stack(h_chunks, axis=1)):
+    if debug:
+        _dbg_tail = h_coeffs_full[:, PROTO.NUM_QUOT_CHUNKS * n:]
+    hq = h_coeffs_full[:, : PROTO.NUM_QUOT_CHUNKS * n].reshape(
+        L, PROTO.NUM_QUOT_CHUNKS, n)
+    del h_coeffs_full
+    polys.add_stack([f"quot{i}" for i in range(PROTO.NUM_QUOT_CHUNKS)], hq)
+    for pt in commit_columns(srs, hq):
         tr.write_point(pt)
 
     _log("quotient committed")
@@ -648,20 +672,23 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     for name, rot in sched:
         by_rot.setdefault(rot, []).append(name)
     evals = {}
+    EV_CHUNK = 64  # bounds the (L, K, n) stack + products peak memory
     for rot, names in by_rot.items():
-        stack = jnp.stack([polys[nm] for nm in names], axis=1)
-        evs = _j_evals_batch(stack, xpows[rot])  # (L, K)
-        vals = F.decode(FR, evs, mont=True)
-        for nm, vv in zip(names, vals):
-            evals[(nm, rot)] = vv
+        for s in range(0, len(names), EV_CHUNK):
+            chunk = names[s:s + EV_CHUNK]
+            stack = jnp.stack([polys[nm] for nm in chunk], axis=1)
+            evs = _j_evals_batch(stack, xpows[rot])  # (L, K)
+            vals = F.decode(FR, evs, mont=True)
+            for nm, vv in zip(chunk, vals):
+                evals[(nm, rot)] = vv
+            del stack
     for name, rot in sched:
         tr.write_scalar(evals[(name, rot)])
 
     if debug:
         from . import verifier as VF_mod
-        tail = h_coeffs_full[:, PROTO.NUM_QUOT_CHUNKS * n:]
-        print("DEBUG h tail nonzero limbs:", int(jnp.sum(tail != 0)),
-              "/", int(np.prod(tail.shape)))
+        print("DEBUG h tail nonzero limbs:", int(jnp.sum(_dbg_tail != 0)),
+              "/", int(np.prod(_dbg_tail.shape)))
         inst_x = VF_mod.instance_eval(inst_ints, x, k)
         acc_x = VF_mod.fold_constraints(
             shape, evals, gamma, beta_l, beta_p, gamma_p, y, x, inst_x,
@@ -686,9 +713,16 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             vpows_host.append(vw)
             combined_eval = (combined_eval + vw * evals[(nm, r)]) % FR.p
             vw = vw * v % FR.p
-        stack = jnp.stack([polys[nm] for nm, _ in group], axis=1)
-        vpows = jnp.asarray(F.encode(FR, vpows_host, mont=True))
-        comb = _j_combine(stack, vpows)
+        comb = None
+        CB = 64  # bound the stacked-combination peak memory
+        for s in range(0, len(group), CB):
+            stack = jnp.stack(
+                [polys[nm] for nm, _ in group[s:s + CB]], axis=1)
+            vpows = jnp.asarray(
+                F.encode(FR, vpows_host[s:s + CB], mont=True))
+            part = _j_combine(stack, vpows)
+            del stack
+            comb = part if comb is None else F.add(FR, comb, part)
         z = points[rot]
         wpoly = _j_divide_linear(
             comb, _enc_mont_scalar(combined_eval), _enc_mont_scalar(z),
