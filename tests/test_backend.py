@@ -91,3 +91,28 @@ def test_prove_batch(setup):
     gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
     _, _, instance2 = TC.run_circuit(circuit, inputs2, gamma0)
     assert VF.verify(pk.vk, proofs[1], F.decode(FR, instance2))
+
+
+def test_commit_lagrange_matches_coefficient(setup):
+    """Evaluation-form (Lagrange-basis, width-tiered) commitment produces
+    the same group elements as coefficient-form commitment."""
+    from zkfhe_tpu.ops import ntt as N
+    import random as _r
+    rng = _r.Random(7)
+    _, srs, _, _, _ = setup
+    n = 1 << K
+    u = n - 10
+    # 8 narrow columns (one width-sorted narrow-tier group) + 2 full-width
+    # columns (full-tier group), all with full-width blinding tails: covers
+    # both MSM tiers, the width sort, and the shared blind-tail MSM.
+    cols = []
+    for width in (8, 29, 40, 52, 13, 29, 40, 52, 254, 254):
+        col = [rng.randrange(1 << width) % FR.p for _ in range(u)]
+        col += [rng.randrange(FR.p) for _ in range(n - u)]
+        cols.append(col)
+    evals = F.to_mont(FR, jnp.stack(
+        [jnp.asarray(F.encode(FR, c)) for c in cols], axis=1))
+    dom = N.Domain.new(K)
+    want = KG.commit_columns(srs, N.intt(dom, evals))
+    got = KG.commit_columns_lagrange(srs.g1_lag, evals, u)
+    assert got == want

@@ -119,3 +119,14 @@ def test_reference_vector_mock():
     layout, values, instance, nbad = run_mock(params, cin)
     assert nbad == 0
     assert layout.num_instance == 5121  # examples/bfv.rs:118-122
+
+
+def test_larger_params_mock():
+    """Bigger ring + 61-bit modulus (BASELINE item 3 direction: parameters
+    beyond the reference's compile-time N=1024/Q=2^29-3). Q up to ~121
+    bits fits the single-limb growth budget (2*q_bits + log2(n) < 254);
+    beyond that needs RNS limbs (future work)."""
+    big = bfv.BfvParams(n=64, q=(1 << 61) - 1, t=7, b=19)
+    cin = bfv.generate_input(big, seed=9)
+    _, _, _, nbad = run_mock(big, cin)
+    assert nbad == 0

@@ -95,3 +95,30 @@ def test_msm_small():
     got = C.decode_points(out)
     want = [M.msm_host(pts, row) for row in scalars]
     assert got == want
+
+
+def test_msm_width_tiers():
+    """Width-limited MSM (max_bits tiers) matches the full-width result
+    for narrow scalars, across every tier."""
+    n, K = 40, 2
+    pts = [C.G1_GEN.mul(random.randrange(1, FR.p)) for _ in range(n)]
+    P = C.encode_points(pts)
+    PX, PY = P[0], P[1]
+    for bits, _r in M.WIDTH_TIERS[:-1]:
+        scalars = [[random.randrange(1 << bits) for _ in range(n)]
+                   for _ in range(K)]
+        scalars[0][0] = (1 << bits) - 1  # tier boundary value
+        sc = jnp.stack([jnp.asarray(F.encode(FR, row)) for row in scalars],
+                       axis=1)
+        got = C.decode_points(M.msm((PX, PY), sc, max_bits=bits))
+        want = [M.msm_host(pts, row) for row in scalars]
+        assert got == want, f"tier {bits}"
+
+
+def test_column_max_bits():
+    vals = [[5, 1 << 30, 0], [0, 0, 0], [FR.p - 1, 1, 2]]
+    sc = jnp.stack([jnp.asarray(F.encode(FR, row)) for row in vals], axis=1)
+    mb = M.column_max_bits(sc)
+    assert mb[0] >= 31 and mb[0] <= 39      # limb granularity
+    assert mb[1] == 1                        # all-zero column
+    assert mb[2] >= 254

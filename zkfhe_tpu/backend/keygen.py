@@ -70,6 +70,57 @@ def commit_columns(srs: SRS.SRS, coeffs_mont, batch: int = MSM_BATCH):
     return pts
 
 
+# Column capacities of the shared blind-tail MSM (smallest fitting bucket
+# is used, so the 1/3-column call sites don't pay the 192-lane executable)
+TAIL_KS = (8, 64, 192)
+TAIL_R = 8
+
+
+def commit_columns_lagrange(lag_pts, evals_mont, u, batch: int = MSM_BATCH):
+    """Commit (L, K, n) Montgomery *evaluation-form* columns -> K affine
+    points. Produces the same group elements as commit_columns(iNTT(...))
+    (f(tau) = sum_j f(w^j) L_j(tau)) but the MSM scalars are the raw
+    evaluations, which in this circuit are mostly narrow (<= 78-bit range
+    limbs/witness values, SURVEY.md §3.5) rather than full-width iNTT
+    coefficients. Columns are width-sorted into groups and each group runs
+    a width-tiered bucket scan (ops/msm.WIDTH_TIERS): bucket-scan work is
+    n*K*W, so narrow groups cost W/65 of the full-width path.
+
+    Rows [u, n) are full-width blinding; they are committed for ALL
+    columns in one tiny shared MSM (TAIL_KS capacities, n-u points) and
+    host-added to the main parts.
+    """
+    L, K, n = evals_mont.shape
+    if K == 0:
+        return []
+    tail_k = next((c for c in TAIL_KS if c >= K), -(-K // 64) * 64)
+    std = F.from_mont(FR, evals_mont)
+    PX, PY = lag_pts
+    main = std[:, :, :u]
+    widths = M.column_max_bits(main)
+    order = np.argsort(np.asarray(widths), kind="stable")
+
+    out = [None] * K
+    for s in range(0, K, batch):
+        idx = order[s:s + batch]
+        sc = main[:, jnp.asarray(idx), :]
+        real = sc.shape[1]
+        if real < batch:
+            sc = jnp.pad(sc, [(0, 0), (0, batch - real), (0, 0)])
+        mb = max(widths[i] for i in idx)
+        res = M.msm((PX[:, :u], PY[:, :u]), sc, max_bits=mb)
+        pts = C.decode_points(res)[:real]
+        for pos, i in enumerate(idx):
+            out[i] = pts[pos]
+
+    # shared blind-tail MSM (full-width scalars, n-u points)
+    tail = std[:, :, u:]
+    tail = jnp.pad(tail, [(0, 0), (0, tail_k - K), (0, 0)])
+    res = M.msm((PX[:, u:], PY[:, u:]), tail, R=TAIL_R)
+    tail_pts = C.decode_points(res)[:K]
+    return [a.add(b) for a, b in zip(out, tail_pts)]
+
+
 @dataclasses.dataclass
 class VerifyingKey:
     k: int

@@ -38,7 +38,7 @@ from ..trace.builder import CTX_LK, CTX_P0, CTX_P1, LOOKUP_BITS, NUM_CTX
 from ..trace.compile import make_witgen
 from . import protocol as PROTO
 from .assembly import EXT_FACTOR, LOOKUP_GROUP, PERM_CHUNK
-from .keygen import ProvingKey, commit_columns
+from .keygen import ProvingKey, commit_columns, commit_columns_lagrange
 from .srs import SRS
 from .transcript import Transcript
 
@@ -421,7 +421,15 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values0,
                                 scatter_idx, blind)
     p0 = asm.num_p0_cols
-    commits_p0 = commit_columns(srs, adv_coeffs[:, :p0]) if p0 else []
+
+    def commit_evals(evals):
+        """Advice commitment: width-aware Lagrange-basis MSMs when the
+        SRS carries the Lagrange points, else coefficient-form MSMs."""
+        if srs.g1_lag is not None:
+            return commit_columns_lagrange(srs.g1_lag, evals, u)
+        return commit_columns(srs, N.intt(dom, evals))
+
+    commits_p0 = commit_evals(adv[:, :p0]) if p0 else []
     for pt in commits_p0:
         tr.write_point(pt)
 
@@ -437,7 +445,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         "instance values depend on the challenge"
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
                                 scatter_idx, blind)
-    commits_p1 = commit_columns(srs, adv_coeffs[:, p0:])
+    commits_p1 = commit_evals(adv[:, p0:])
     for pt in commits_p1:
         tr.write_point(pt)
 
@@ -476,7 +484,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         m_vals = jnp.concatenate(
             [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
         polys["lookup_m"] = N.intt(dom, m_vals)
-        for pt in commit_columns(srs, polys["lookup_m"][:, None]):
+        for pt in commit_evals(m_vals[:, None]):
             tr.write_point(pt)
 
     _log("phase-1 + multiplicities committed")
@@ -703,7 +711,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     v = tr.challenge()
 
     # ---- GWC multiopen ------------------------------------------------------
-    w_commits = []
+    # All W polys depend only on v/x, so build every one first and commit
+    # them as ONE padded MSM batch instead of one padded MSM each.
+    wpolys = []
     for rot in PROTO.ROTATIONS:
         group = [(nm, r) for (nm, r) in sched if r == rot]
         if not group:
@@ -724,11 +734,10 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             del stack
             comb = part if comb is None else F.add(FR, comb, part)
         z = points[rot]
-        wpoly = _j_divide_linear(
+        wpolys.append(_j_divide_linear(
             comb, _enc_mont_scalar(combined_eval), _enc_mont_scalar(z),
-            _enc_mont_scalar(pow(z, FR.p - 2, FR.p)))
-        w_commits.append(commit_columns(srs, wpoly[:, None])[0])
-    for pt in w_commits:
+            _enc_mont_scalar(pow(z, FR.p - 2, FR.p))))
+    for pt in commit_columns(srs, jnp.stack(wpolys, axis=1)):
         tr.write_point(pt)
 
     _log("multiopen witnesses committed; proof done")

@@ -31,6 +31,9 @@ class SRS:
     g1: tuple  # (X, Y) affine Montgomery-form arrays, (L, n)
     g2_gen: tuple  # G2 affine (host ints)
     g2_tau: tuple
+    # Lagrange-basis points ([L_j(tau)]G1), populated by generate() /
+    # load_or_generate(); enables evaluation-form (width-aware) commits.
+    g1_lag: tuple | None = None
 
     @property
     def n(self):
@@ -48,6 +51,25 @@ def _tau_from_seed(seed: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(seed).digest(), "little") % FR.p
 
 
+def _g1_batch(scalars: list):
+    """[s_j] -> affine ([s_j]G1) arrays (X, Y), via one vectorized
+    double-and-add ladder on device (host fallback for tiny batches)."""
+    n = len(scalars)
+    if n <= 256:
+        pts = [C.G1_GEN.mul(t) for t in scalars]
+        X, Y, _ = C.encode_points(pts)
+        return jnp.asarray(X), jnp.asarray(Y)
+    nbits = 254
+    bits = np.zeros((nbits, n), dtype=np.uint32)
+    for i, t in enumerate(scalars):
+        for b in range(t.bit_length()):
+            bits[b, i] = (t >> b) & 1
+    G = C.encode_points([C.G1_GEN] * n)
+    acc = C.scalar_mul(G, jnp.asarray(bits))
+    X, Y = to_affine_xy(acc)
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
 def generate(k: int, seed: bytes = b"zkfhe-tpu-test-srs") -> SRS:
     n = 1 << k
     tau = _tau_from_seed(seed)
@@ -57,23 +79,58 @@ def generate(k: int, seed: bytes = b"zkfhe-tpu-test-srs") -> SRS:
     for i in range(1, n):
         taus[i] = taus[i - 1] * tau % FR.p
 
-    if n <= 256:
-        pts = [C.G1_GEN.mul(t) for t in taus]
-        X, Y, _ = C.encode_points(pts)
-    else:
-        # device ladder: all n scalar muls of G at once
-        nbits = 254
-        bits = np.zeros((nbits, n), dtype=np.uint32)
-        for i, t in enumerate(taus):
-            for b in range(t.bit_length()):
-                bits[b, i] = (t >> b) & 1
-        G = C.encode_points([C.G1_GEN] * n)
-        acc = C.scalar_mul(G, jnp.asarray(bits))
-        X, Y = to_affine_xy(acc)
-
+    X, Y = _g1_batch(taus)
     g2_tau = PR.g2_mul(PR.G2_GEN, tau)
-    return SRS(k=k, g1=(jnp.asarray(X), jnp.asarray(Y)),
-               g2_gen=PR.G2_GEN, g2_tau=g2_tau)
+    lag = _g1_batch(lagrange_scalars(k, seed))
+    return SRS(k=k, g1=(X, Y), g2_gen=PR.G2_GEN, g2_tau=g2_tau,
+               g1_lag=lag)
+
+
+def lagrange_scalars(k: int, seed: bytes = b"zkfhe-tpu-test-srs") -> list:
+    """L_j(tau) for the size-2^k domain: L_j(X) = (w^j/n)(X^n-1)/(X-w^j).
+    Exact host math from the (test-SRS) known trapdoor."""
+    from ..ops import ntt as N
+    n = 1 << k
+    tau = _tau_from_seed(seed)
+    omega = N.Domain.new(k).omega
+    zh = (pow(tau, n, FR.p) - 1) % FR.p
+    n_inv = pow(n, FR.p - 2, FR.p)
+    wj = 1
+    denoms = []
+    wjs = []
+    for j in range(n):
+        wjs.append(wj)
+        denoms.append((tau - wj) % FR.p)
+        wj = wj * omega % FR.p
+    # batch inversion of the denominators
+    prefix = [1] * (n + 1)
+    for j in range(n):
+        prefix[j + 1] = prefix[j] * denoms[j] % FR.p
+    inv_all = pow(prefix[n], FR.p - 2, FR.p)
+    invs = [0] * n
+    for j in range(n - 1, -1, -1):
+        invs[j] = inv_all * prefix[j] % FR.p
+        inv_all = inv_all * denoms[j] % FR.p
+    return [zh * n_inv % FR.p * wjs[j] % FR.p * invs[j] % FR.p
+            for j in range(n)]
+
+
+def lagrange_path_for(k: int, params_dir: str = "params") -> str:
+    return os.path.join(params_dir, f"kzg_bn254_{k}.lag.npz")
+
+
+def load_or_generate_lagrange(k: int, params_dir: str = "params"):
+    """Lagrange-basis G1 points ([L_j(tau)]G1) for committing columns in
+    evaluation form (width-aware MSMs see the raw small values instead of
+    full-width iNTT coefficients). Cached like the monomial SRS."""
+    path = lagrange_path_for(k, params_dir)
+    if os.path.exists(path):
+        data = np.load(path)
+        return jnp.asarray(data["g1x"]), jnp.asarray(data["g1y"])
+    X, Y = _g1_batch(lagrange_scalars(k))
+    os.makedirs(params_dir, exist_ok=True)
+    np.savez_compressed(path, g1x=np.asarray(X), g1y=np.asarray(Y))
+    return X, Y
 
 
 def to_affine_xy(P):
@@ -127,7 +184,12 @@ def load(k: int, params_dir: str = "params") -> SRS:
 
 def load_or_generate(k: int, params_dir: str = "params") -> SRS:
     if os.path.exists(path_for(k, params_dir)):
-        return load(k, params_dir)
+        srs = load(k, params_dir)
+        srs.g1_lag = load_or_generate_lagrange(k, params_dir)
+        return srs
     srs = generate(k)
     save(srs, params_dir)
+    lp = lagrange_path_for(k, params_dir)
+    np.savez_compressed(lp, g1x=np.asarray(srs.g1_lag[0]),
+                        g1y=np.asarray(srs.g1_lag[1]))
     return srs

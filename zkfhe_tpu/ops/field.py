@@ -142,10 +142,41 @@ def vary_like(x, ref):
     return jnp.where(jnp.bool_(False), ref, x)
 
 
+# Trace-time switch: inside `with unrolled():` the sequential limb chains
+# (carry propagation, borrow chains, Montgomery reduction rounds) emit
+# straight-line ops instead of lax.scan. Scans keep graphs tiny (fast
+# compiles) but each 20-step while-loop costs real latency per invocation;
+# kernels that run the chains MANY times sequentially per device call
+# (the MSM's EC-add pipeline) trace their bodies unrolled so XLA fuses
+# the whole chain into one kernel. Default stays scan-based.
+_UNROLL = False
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def unrolled():
+    global _UNROLL
+    old = _UNROLL
+    _UNROLL = True
+    try:
+        yield
+    finally:
+        _UNROLL = old
+
+
 def _carry_chain(t):
     """Propagate carries along axis 0 of a (L, *batch) uint32 array whose
-    limbs may exceed 2^LIMB_BITS. Sequential over limbs via lax.scan (the
-    dependence is inherent); tiny graph. Returns (normalized, final_carry)."""
+    limbs may exceed 2^LIMB_BITS. Returns (normalized, final_carry)."""
+    if _UNROLL:
+        out = []
+        carry = t[0] * jnp.uint32(0)
+        for i in range(t.shape[0]):
+            v = t[i] + carry
+            out.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(out), carry
 
     def body(carry, v):
         v = v + carry
@@ -158,6 +189,14 @@ def _carry_chain(t):
 def _sub_limbs(a, b):
     """a - b with borrow chain along axis 0; returns (limbs, borrow) where
     borrow==1 iff b > a. Inputs normalized."""
+    if _UNROLL:
+        out = []
+        borrow = (a[0] + b[0]) * jnp.uint32(0)
+        for i in range(a.shape[0]):
+            d = a[i] + jnp.uint32(1 << LIMB_BITS) - b[i] - borrow
+            out.append(d & LIMB_MASK)
+            borrow = jnp.uint32(1) - (d >> LIMB_BITS)
+        return jnp.stack(out), borrow
 
     def body(borrow, xy):
         x, y = xy
@@ -214,7 +253,17 @@ def mont_mul(field: Field, a, b):
     Limb-axis-vectorized CIOS at radix 2^13. Overflow analysis (uint32):
     schoolbook accumulators < 20*(2^13-1)^2 < 2^30.4; each reduction round
     adds <= L products of < 2^26 plus a < 2^19 carry, peak < 2^31.8 < 2^32.
+
+    With ZKFHE_PALLAS=1, large batches on TPU dispatch to the VMEM-resident
+    Pallas kernel (ops/pallas_field.py) — decided at trace time from static
+    shape+backend. Off by default: measured equal-speed on v5e.
     """
+    nelems = 1
+    for d in a.shape[1:]:
+        nelems *= d
+    from . import pallas_field as _PF
+    if _PF.should_use(nelems):
+        return _PF.mont_mul_pallas(field, a, b)
     L = NLIMBS
     batch = a.shape[1:]
     mu = jnp.uint32(field.mu)
@@ -230,7 +279,21 @@ def mont_mul(field: Field, a, b):
     t = jnp.pad(t, [(0, 1)] + [(0, 0)] * len(batch))  # (2L, *batch)
 
     # interleaved Montgomery reduction: sequential over L rounds (inherent),
-    # each round vectorized over limbs. scan keeps the graph tiny.
+    # each round vectorized over limbs. Unrolled mode emits straight-line
+    # ops with static indices (fused by XLA); scan mode keeps graphs tiny.
+    if _UNROLL:
+        rows = [t[i] for i in range(2 * L)]
+        pl = [jnp.uint32(v) for v in field.p_limbs]
+        for k in range(L):
+            m = ((rows[k] & LIMB_MASK) * mu) & LIMB_MASK
+            rows[k] = rows[k] + m * pl[0]
+            carry = rows[k] >> LIMB_BITS
+            rows[k + 1] = rows[k + 1] + carry
+            for j in range(1, L):
+                rows[k + j] = rows[k + j] + m * pl[j]
+        res, _ = _carry_chain(jnp.stack(rows[L:]))
+        return _cond_sub_p(field, res)
+
     def round_fn(t, k):
         tk = jax.lax.dynamic_index_in_dim(t, k, axis=0, keepdims=False)
         m = ((tk & LIMB_MASK) * mu) & LIMB_MASK

@@ -21,6 +21,9 @@ so gather/scatter order never hits a special case.
 
 NOTE: the stages are three separately-jitted executables, not one: the
 fully-fused form crashes the TPU worker ("kernel fault") on v5e.
+Measured on v5e: unrolling the limb chains does NOT beat the scan form
+(30ms vs 33ms per 33k-lane mont_mul) — throughput is bound by the XLA
+elementwise pipeline, hence the Pallas kernel in ops/pallas_field.py.
 """
 from __future__ import annotations
 
@@ -34,20 +37,31 @@ from . import curve as C
 from . import field as F
 from .field import FQ, FR
 
+import contextlib
+
 DEFAULT_C = 4
 DEFAULT_R = 64
 
 
-def num_windows(c: int) -> int:
+# Measured on v5e: tracing the kernel bodies with F.unrolled() (straight-
+# line limb chains instead of nested scans) costs a 13-minute Mosaic
+# compile and runs at the SAME speed (1.11s vs 1.05s per 8-column bucket
+# scan) — the per-step cost is intrinsic to the uint32 elementwise path,
+# not loop overhead. Next lever is a dedicated Pallas bucket kernel.
+
+
+def num_windows(c: int, max_bits: int = 256) -> int:
     # +1 window absorbs the signed-digit carry out of the top bits
-    return (256 + c - 1) // c + 1
+    return (max_bits + c - 1) // c + 1
 
 
-def signed_digits(scalars, c: int):
+def signed_digits(scalars, c: int, max_bits: int = 256):
     """scalars: (L, *batch) standard-form Fr limbs -> (W, *batch) int32
-    signed digits in [-(2^(c-1)), 2^(c-1)], LSB window first."""
+    signed digits in [-(2^(c-1)), 2^(c-1)], LSB window first. With
+    max_bits < 256 the caller guarantees every scalar < 2^max_bits
+    (windows above that are provably zero and skipped)."""
     assert c <= 8
-    W = num_windows(c)
+    W = num_windows(c, max_bits)
     batch = scalars.shape[1:]
     lb = F.LIMB_BITS
 
@@ -78,17 +92,21 @@ def signed_digits(scalars, c: int):
     return digits  # (W, *batch) int32
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _msm_buckets(points, scalars, c, R):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_buckets(points, scalars, c, R, max_bits=256):
     """Bucket accumulation. Returns buckets (3, L, K, W, R, B)."""
+    return _msm_buckets_body(points, scalars, c, R, max_bits)
+
+
+def _msm_buckets_body(points, scalars, c, R, max_bits=256):
     PX, PY = points
     L, n = PX.shape
     K = scalars.shape[1]
-    W = num_windows(c)
+    W = num_windows(c, max_bits)
     B = (1 << (c - 1)) + 1  # bucket 0 = trash/no-op
     nsteps = n // R
 
-    digits = signed_digits(scalars, c)  # (W, K, n) int32
+    digits = signed_digits(scalars, c, max_bits)  # (W, K, n) int32
     # (n, W, K) -> (nsteps, W, K, R)
     dseq = jnp.moveaxis(digits, -1, 0).reshape(nsteps, R, W, K)
     dseq = jnp.moveaxis(dseq, 1, -1)  # (nsteps, W, K, R)
@@ -142,6 +160,10 @@ def _msm_buckets(points, scalars, c, R):
 def _msm_aggregate(buckets, c):
     """(3, L, K, W, R, B) -> per-window totals T_w (Jacobian (L, K, W)):
     merge replicas by tree EC-adds, then T_w = sum_b b * bucket_b."""
+    return _msm_aggregate_body(buckets, c)
+
+
+def _msm_aggregate_body(buckets, c):
     bx, by, bz = buckets[0], buckets[1], buckets[2]
     L2, K, W, R, B = bx.shape
     # replica merge: log2 R pairwise-add levels over axis 3
@@ -179,6 +201,10 @@ def _msm_aggregate(buckets, c):
 @functools.partial(jax.jit, static_argnums=1)
 def _msm_horner(totals_arr, c):
     """Window combine (Horner from the top window): acc = 2^c * acc + T_w."""
+    return _msm_horner_body(totals_arr, c)
+
+
+def _msm_horner_body(totals_arr, c):
     totals = (totals_arr[0], totals_arr[1], totals_arr[2])
     L2, K, W = totals[0].shape
 
@@ -198,13 +224,60 @@ def _msm_horner(totals_arr, c):
     return acc
 
 
-def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R):
+# Width tiers for small-scalar MSMs (scalar bound -> bucket-scan config).
+# W*R is held ~constant so every tier runs the same per-step lane count
+# (and bucket memory) while the step count drops with the scalar width:
+# total bucket-scan work is n*K*W, so a 26-bit tier does 8/65 of the
+# full-width math. Each tier is its own compiled executable; the small
+# fixed set bounds remote-compile cost.
+# Two tiers only: each tier's (buckets, aggregate, horner) trio is a
+# fresh Mosaic compile (~20 min on the axon remote-compile path), and the
+# measured BFV column-width histogram (163/190 phase-1 columns <= 52 bits,
+# 17 full-width) showed finer tiers buy <1s over this pair.
+WIDTH_TIERS = (  # (max_bits, R) -- W = num_windows(c=4, max_bits)
+    (52, 256),    # W=14: witness values (29b), div_mod quotients (41b)
+    (256, DEFAULT_R),  # W=65 full width
+)
+
+
+def tier_for(max_bits: int):
+    """Smallest tier covering scalars < 2^max_bits -> (tier_bits, R)."""
+    for b, r in WIDTH_TIERS:
+        if max_bits <= b:
+            return b, r
+    return 256, DEFAULT_R
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _j_top_limbs(std):
+    """(L, K, n) standard limbs -> (K,) int32 top nonzero limb index per
+    column (-1 if the column is all zero). One tiny executable reused for
+    every width probe; the host reads K ints back."""
+    nz = std != 0
+    lidx = jnp.arange(std.shape[0], dtype=jnp.int32)[:, None, None]
+    per = jnp.where(nz, lidx, -1)
+    return jnp.max(per, axis=(0, 2))
+
+
+def column_max_bits(std) -> list:
+    """Per-column conservative bit bound (limb granularity) for (L, K, n)
+    standard-form scalars."""
+    top = np.asarray(_j_top_limbs(std))
+    return [(int(t) + 1) * F.LIMB_BITS if t >= 0 else 1 for t in top]
+
+
+def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R,
+        max_bits: int = 256):
     """Pippenger MSM: sum_i scalars[k, i] * points[i] for each k.
 
     points:  (X, Y) affine G1, each (L, n) uint32 Montgomery-form Fq.
     scalars: (L, K, n) uint32 standard-form Fr limbs.
+    max_bits: caller-guaranteed bound on every scalar (use column_max_bits
+    to measure); quantized to WIDTH_TIERS which also picks R.
     Returns Jacobian (X, Y, Z) each (L, K).
     """
+    if max_bits < 256:
+        max_bits, R = tier_for(max_bits)
     PX, PY = points
     n = PX.shape[1]
     R = min(R, n)
@@ -214,7 +287,7 @@ def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R):
         PX = jnp.pad(PX, [(0, 0), (0, pad)])
         PY = jnp.pad(PY, [(0, 0), (0, pad)])
         scalars = jnp.pad(scalars, [(0, 0), (0, 0), (0, pad)])
-    buckets = _msm_buckets((PX, PY), scalars, c, R)
+    buckets = _msm_buckets((PX, PY), scalars, c, R, max_bits)
     totals = _msm_aggregate(buckets, c)
     return _msm_horner(totals, c)
 
