@@ -41,6 +41,23 @@ def main():
 
     log("devices:", jax.devices())
 
+    # Wedged-worker watchdog: the axon TPU worker can get into a state
+    # where every dispatch hangs forever (observed after back-to-back
+    # heavy sessions). Probe with a trivial op under an alarm so the
+    # driver gets a failure JSON instead of an indefinite hang.
+    import signal
+
+    def _probe_timeout(signum, frame):
+        print(json.dumps({"metric": "bench_failed_tpu_wedged", "value": 0,
+                          "unit": "", "vs_baseline": 0.0}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _probe_timeout)
+    signal.alarm(180)
+    np.asarray(jnp.arange(4) + 1)
+    signal.alarm(0)
+    log("device probe OK")
+
     k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
     n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
     baseline_s = 10.2

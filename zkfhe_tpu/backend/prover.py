@@ -424,8 +424,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     def commit_evals(evals):
         """Advice commitment: width-aware Lagrange-basis MSMs when the
-        SRS carries the Lagrange points, else coefficient-form MSMs."""
-        if srs.g1_lag is not None:
+        SRS carries the Lagrange points, else coefficient-form MSMs
+        (ZKFHE_NO_LAGRANGE=1 forces the coefficient path for A/B runs)."""
+        if srs.g1_lag is not None and not os.environ.get("ZKFHE_NO_LAGRANGE"):
             return commit_columns_lagrange(srs.g1_lag, evals, u)
         return commit_columns(srs, N.intt(dom, evals))
 
