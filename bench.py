@@ -21,6 +21,49 @@ def log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
+def _kernel_metrics(k, log):
+    """The BASELINE.json metric: MSM pts/s/chip and NTT butterflies/s,
+    measured on the REAL hot kernels (fixed-base table MSM commit, coset
+    NTT) at the bench shapes, warm."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from zkfhe_tpu.backend import srs as SRS
+    from zkfhe_tpu.ops import field as F
+    from zkfhe_tpu.ops import msm as M
+    from zkfhe_tpu.ops import ntt as N
+
+    n = 1 << k
+    srs = SRS.load_or_generate(k, "params")
+    out = {}
+    if srs.g1_lag is not None:
+        tab = M.build_table((srs.g1_lag[0][:, :n], srs.g1_lag[1][:, :n]))
+        K = 8
+        sc = jnp.asarray(
+            __import__("numpy").random.RandomState(0).randint(
+                0, 1 << 13, size=(F.NLIMBS, K, n)).astype("uint32"))
+        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
+        t0 = time.time()
+        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
+        dt = time.time() - t0
+        out["msm_pts_per_s_per_chip"] = round(K * n / dt, 1)
+        log(f"table MSM (32-bit tier, K={K}, n={n}): {K*n/dt:.0f} pts/s")
+    dom = N.Domain.new(k + 3)
+    K = 8
+    a = jnp.asarray(
+        __import__("numpy").random.RandomState(1).randint(
+            0, 1 << 13, size=(F.NLIMBS, K, dom.n)).astype("uint32"))
+    ntt_j = jax.jit(N.ntt, static_argnums=0)
+    jax.block_until_ready(ntt_j(dom, a))
+    t0 = time.time()
+    jax.block_until_ready(ntt_j(dom, a))
+    dt = time.time() - t0
+    bflies = K * (dom.n // 2) * (k + 3)
+    out["ntt_butterflies_per_s"] = round(bflies / dt, 1)
+    log(f"coset-size NTT (K={K}, n={dom.n}): {bflies/dt:.3g} butterflies/s")
+    return out
+
+
 def main():
     os.environ.setdefault("ZKFHE_BENCH", "1")
     import jax
@@ -103,20 +146,37 @@ def main():
         proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
         prove_s = time.time() - t0
         log(f"bench prove: {prove_s:.3f}s")
+        stages = dict(PV.LAST_STAGES)
+        log(f"stages: {stages}")
 
-        t0 = time.time()
         gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
         _, instance = TC.make_witgen(circuit)(inputs, gamma0)
         inst = F.decode(F.FR, instance)
+        t0 = time.time()
         ok = VF.verify(pk.vk, proof, inst, verbose=True)
-        log(f"verify: {ok} ({time.time()-t0:.3f}s)")
-        assert ok, "proof did not verify"
+        verify_cold_s = time.time() - t0
+        t0 = time.time()
+        ok2 = VF.verify(pk.vk, proof, inst)
+        verify_s = time.time() - t0
+        log(f"verify: {ok} (cold {verify_cold_s:.3f}s, warm {verify_s:.3f}s)")
+        assert ok and ok2, "proof did not verify"
+
+        extras = {}
+        try:
+            extras = _kernel_metrics(k, log)
+        except Exception:
+            log("kernel metrics failed:\n" + traceback.format_exc())
 
         print(json.dumps({
             "metric": f"bfv_proof_time_k{k}",
             "value": round(prove_s, 4),
             "unit": "s",
             "vs_baseline": round(baseline_s / prove_s, 3),
+            "verify_s": round(verify_s, 4),
+            "verify_cold_s": round(verify_cold_s, 4),
+            "proof_bytes": len(proof),
+            "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
+            **extras,
         }))
         return 0
     except Exception:

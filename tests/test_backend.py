@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e
+
 from zkfhe_tpu.backend import keygen as KG
 from zkfhe_tpu.backend import prover as PV
 from zkfhe_tpu.backend import srs as SRS
@@ -116,3 +118,58 @@ def test_commit_lagrange_matches_coefficient(setup):
     want = KG.commit_columns(srs, N.intt(dom, evals))
     got = KG.commit_columns_lagrange(srs.g1_lag, evals, u)
     assert got == want
+
+
+def test_commit_table_matches_coefficient(setup):
+    """Fixed-base table commits (the default path) produce the same group
+    elements as coefficient-form scan commits, including the width-tier
+    grouping and the shared blind-tail launch."""
+    from zkfhe_tpu.ops import ntt as N
+    import random as _r
+    rng = _r.Random(11)
+    _, srs, pk, _, _ = setup
+    n = 1 << K
+    u = pk.asm.u
+    cols = []
+    for width in (8, 29, 40, 52, 13, 29, 254, 254, 60, 200):
+        col = [rng.randrange(1 << width) % FR.p for _ in range(u)]
+        col += [rng.randrange(FR.p) for _ in range(n - u)]
+        cols.append(col)
+    evals = F.to_mont(FR, jnp.stack(
+        [jnp.asarray(F.encode(FR, c)) for c in cols], axis=1))
+    dom = N.Domain.new(K)
+    want = KG.commit_columns(srs, N.intt(dom, evals))
+    committer = KG.Committer(srs, n, u)
+    assert committer.commit_values(evals) == want
+    # coefficient-form entry point (used for quotient/W/random polys)
+    coeffs = N.intt(dom, evals)
+    assert committer.commit_coeffs(coeffs, dom) == want
+
+
+def test_verify_rejects_wrong_vk(setup):
+    """The vk digest is bound into the transcript: a proof must not
+    verify against a different circuit's vk (VERDICT round-1 weak #8)."""
+    import dataclasses as _dc
+    from zkfhe_tpu.ops import curve as C
+    _, _, pk, proof, inst = setup
+    vk2 = _dc.replace(pk.vk, fixed_commits=list(pk.vk.fixed_commits))
+    vk2.fixed_commits[0] = C.G1_GEN  # valid point, wrong circuit
+    assert not VF.verify(vk2, proof, inst)
+
+
+def test_verify_rejects_malformed_proofs(setup):
+    """Strict deserialization: trailing bytes, truncation, non-canonical
+    coordinates and off-curve points are all rejected (ADVICE.md round-1
+    high/medium)."""
+    _, _, pk, proof, inst = setup
+    assert not VF.verify(pk.vk, proof + b"\x00", inst)
+    assert not VF.verify(pk.vk, proof[:-10], inst)
+    # non-canonical x coordinate (x = q) in the first commitment
+    bad = bytearray(proof)
+    bad[0:32] = F.BN254_FQ.to_bytes(32, "little")
+    assert not VF.verify(pk.vk, bytes(bad), inst)
+    # on-field but off-curve point
+    bad = bytearray(proof)
+    bad[0:32] = (5).to_bytes(32, "little")
+    bad[32:64] = (5).to_bytes(32, "little")
+    assert not VF.verify(pk.vk, bytes(bad), inst)

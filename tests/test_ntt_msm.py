@@ -122,3 +122,48 @@ def test_column_max_bits():
     assert mb[0] >= 31 and mb[0] <= 39      # limb granularity
     assert mb[1] == 1                        # all-zero column
     assert mb[2] >= 254
+
+
+def test_msm_tab_matches_host():
+    """Fixed-base table MSM (gather + tree reduce) vs naive host sum,
+    across width tiers, edge scalars, and row offsets."""
+    n, K = 24, 3
+    pts = [C.G1_GEN.mul(random.randrange(1, FR.p)) for _ in range(n)]
+    P = C.encode_points(pts)
+    tab = M.build_table((P[0], P[1]))
+    assert tab.windows == M.num_windows(M.TAB_C, 256)
+
+    for bits in M.TAB_TIERS:
+        bound = FR.p if bits == 256 else (1 << bits)
+        scalars = [[random.randrange(bound) for _ in range(n)]
+                   for _ in range(K)]
+        scalars[0][0] = 0
+        scalars[1][1] = bound - 1
+        sc = jnp.stack([jnp.asarray(F.encode(FR, row)) for row in scalars],
+                       axis=1)
+        got = C.decode_points(jnp.stack(M.msm_tab(tab, sc, max_bits=bits)))
+        want = [M.msm_host(pts, row) for row in scalars]
+        assert got == want, f"tier {bits}"
+
+
+def test_msm_tab_row_offset():
+    """Sub-range commits (row_offset) match the host MSM over the slice,
+    and main+tail splits recompose to the full-range commitment."""
+    n = 16
+    off, rows = 10, 6
+    pts = [C.G1_GEN.mul(random.randrange(1, FR.p)) for _ in range(n)]
+    P = C.encode_points(pts)
+    tab = M.build_table((P[0], P[1]))
+    scalars = [random.randrange(FR.p) for _ in range(n)]
+    sc_tail = jnp.asarray(F.encode(FR, scalars[off:off + rows]))[:, None, :]
+    got = C.decode_points(
+        jnp.stack(M.msm_tab(tab, sc_tail, row_offset=off)))[0]
+    want = M.msm_host(pts[off:off + rows], scalars[off:off + rows])
+    assert got == want
+    # main [0, off) + tail [off, n) == full
+    sc_main = jnp.asarray(F.encode(FR, scalars[:off]))[:, None, :]
+    main = C.decode_points(jnp.stack(M.msm_tab(tab, sc_main)))[0]
+    sc_tail2 = jnp.asarray(F.encode(FR, scalars[off:]))[:, None, :]
+    tail = C.decode_points(
+        jnp.stack(M.msm_tab(tab, sc_tail2, row_offset=off)))[0]
+    assert main.add(tail) == M.msm_host(pts, scalars)

@@ -259,9 +259,25 @@ def g2_on_curve(p) -> bool:
     if p is None:
         return True
     x, y = p
-    b2 = f2_mul_xi(f2_inv(f2_mul(XI, XI)))  # 3/xi = 3*xi^-1
-    b2 = f2_scalar(f2_inv(XI), 3)
+    b2 = f2_scalar(f2_inv(XI), 3)  # twist coefficient 3/xi
     return f2_sqr(y) == f2_add(f2_mul(f2_sqr(x), x), b2)
+
+
+def g2_in_subgroup(p) -> bool:
+    """Order-r check for deserialized G2 points (the twist has points
+    outside the r-torsion, unlike G1 whose cofactor is 1): verify
+    (r-1)*P == -P without the mod-r reduction g2_mul applies."""
+    if p is None:
+        return True
+    if not g2_on_curve(p):
+        return False
+    acc, base, k = None, p, R - 1
+    while k:
+        if k & 1:
+            acc = g2_add(acc, base)
+        base = g2_add(base, base)
+        k >>= 1
+    return acc == g2_neg(p)
 
 
 def _embed_fq(x: int):

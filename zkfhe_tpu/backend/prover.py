@@ -38,7 +38,8 @@ from ..trace.builder import CTX_LK, CTX_P0, CTX_P1, LOOKUP_BITS, NUM_CTX
 from ..trace.compile import make_witgen
 from . import protocol as PROTO
 from .assembly import EXT_FACTOR, LOOKUP_GROUP, PERM_CHUNK
-from .keygen import ProvingKey, commit_columns, commit_columns_lagrange
+from .keygen import (ProvingKey, commit_columns, commit_columns_lagrange,
+                     make_committer, vk_digest)
 from .srs import SRS
 from .transcript import Transcript
 
@@ -51,6 +52,12 @@ def _log(msg):
         import sys, time
         print(f"[prove {time.strftime('%H:%M:%S')}] {msg}",
               file=sys.stderr, flush=True)
+
+
+# per-stage wall-clock of the most recent prove() (utils/profiling wired
+# into the pipeline — SURVEY.md §5 "Tracing/profiling"; bench.py reports
+# this in the round JSON)
+LAST_STAGES: dict = {}
 
 
 def _rand_field_rows(rng, rows, cols):
@@ -96,12 +103,20 @@ class PolyStore:
 # Jitted stage kernels (compiled once per shape, cached persistently)
 # ---------------------------------------------------------------------------
 
+def _coset(dom_ext, coeffs, cpow):
+    """(L, *batch, n) coeffs -> (L, *batch, ext_n) coset evaluations
+    (traced helper; one batched NTT per call)."""
+    ext_n = dom_ext.n
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, ext_n - coeffs.shape[-1])]
+    cp = jnp.pad(coeffs, pad)
+    cb = cpow.reshape((cpow.shape[0],) + (1,) * (coeffs.ndim - 2) + (ext_n,))
+    return N.ntt(dom_ext, F.mont_mul(FR, cp, jnp.broadcast_to(cb, cp.shape)))
+
+
 @_jit(1)
 def _j_coset(dom_ext, coeffs, cpow):
     """(L, n) coeffs -> (L, ext_n) coset evaluations."""
-    ext_n = dom_ext.n
-    cp = jnp.pad(coeffs, [(0, 0), (0, ext_n - coeffs.shape[-1])])
-    return N.ntt(dom_ext, F.mont_mul(FR, cp, cpow))
+    return _coset(dom_ext, coeffs, cpow)
 
 
 def _roll(ev, rot):
@@ -112,21 +127,142 @@ def _wmul(w, t):
     return F.mont_mul(FR, t, jnp.broadcast_to(w[:, None], t.shape))
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_gate_term(dom_ext, acc, w, a_coeffs, sel_coeffs, cpow):
-    a = _j_coset(dom_ext, a_coeffs, cpow)
-    sel = _j_coset(dom_ext, sel_coeffs, cpow)
+def _wsum(ws, terms):
+    """(L, G) weights x (L, G, E) terms -> weighted sum (L, E)."""
+    t = F.mont_mul(FR, terms,
+                   jnp.broadcast_to(ws[:, :, None], terms.shape))
+    return F.tree_sum_mod(FR, t, axis=1)
+
+
+# ---- batched constraint-term kernels (one dispatch per GROUP of terms;
+# the round-1 per-term loop paid ~300 host->device dispatches and
+# recomputed shared fixed cosets like q_act dozens of times) -------------
+
+def _gate_terms_partial(dom_ext, ws, a_stack, sel_stack, cpow):
+    """ws: (L, G); a_stack/sel_stack: (L, G, n) coeffs -> (L, E) weighted
+    sum. Padding columns must carry weight 0 (their term value is then
+    irrelevant). Partial form so the mesh path can shard the term axis
+    (parallel/sharding.sharded_term_batch)."""
+    a = _coset(dom_ext, a_stack, cpow)
+    sel = _coset(dom_ext, sel_stack, cpow)
     t = F.add(FR, a, F.mont_mul(FR, _roll(a, 1), _roll(a, 2)))
     t = F.sub(FR, t, _roll(a, 3))
-    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, t)))
+    return _wsum(ws, F.mont_mul(FR, sel, t))
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_chal_term(dom_ext, acc, w, a_coeffs, qg_coeffs, cpow, gamma_m):
-    a = _j_coset(dom_ext, a_coeffs, cpow)
-    sel = _j_coset(dom_ext, qg_coeffs, cpow)
-    gb = jnp.broadcast_to(gamma_m[:, None], a.shape)
-    return F.add(FR, acc, _wmul(w, F.mont_mul(FR, sel, F.sub(FR, a, gb))))
+def _j_gate_terms_batch(dom_ext, acc, ws, a_stack, sel_stack, cpow):
+    return F.add(FR, acc,
+                 _gate_terms_partial(dom_ext, ws, a_stack, sel_stack, cpow))
+
+
+def _chal_terms_partial(dom_ext, ws, a_stack, qg_stack, cpow, gamma_m):
+    a = _coset(dom_ext, a_stack, cpow)
+    sel = _coset(dom_ext, qg_stack, cpow)
+    gb = jnp.broadcast_to(gamma_m[:, None, None], a.shape)
+    return _wsum(ws, F.mont_mul(FR, sel, F.sub(FR, a, gb)))
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _j_chal_terms_batch(dom_ext, acc, ws, a_stack, qg_stack, cpow, gamma_m):
+    return F.add(FR, acc, _chal_terms_partial(dom_ext, ws, a_stack,
+                                              qg_stack, cpow, gamma_m))
+
+
+@jax.jit
+def _j_acc_add(acc, part):
+    return F.add(FR, acc, part)
+
+
+def _lookup_h_terms_partial(dom_ext, ws, h_stack, l_stack, qact_ev,
+                            cpow, beta_m):
+    """All FULL logUp helper groups at once. h_stack: (L, NG, n) helper
+    coeffs; l_stack: (L, NG, Gc, n) lookup-column coeffs per group.
+    Padding groups (zero stacks) must carry weight 0."""
+    NG, Gc = l_stack.shape[1], l_stack.shape[2]
+    h = _coset(dom_ext, h_stack, cpow)  # (L, NG, E)
+    facs = []
+    for i in range(Gc):
+        li = _coset(dom_ext, l_stack[:, :, i], cpow)
+        facs.append(F.add(FR, li,
+                          jnp.broadcast_to(beta_m[:, None, None], li.shape)))
+    prod = facs[0]
+    for f2 in facs[1:]:
+        prod = F.mont_mul(FR, prod, f2)
+    lhs = F.mont_mul(FR, h, prod)
+    rhs = jnp.zeros_like(lhs)
+    one = jnp.broadcast_to(_enc_mont_scalar(1)[:, None, None], lhs.shape)
+    for j in range(Gc):
+        pr = one
+        for kk in range(Gc):
+            if kk != j:
+                pr = F.mont_mul(FR, pr, facs[kk])
+        rhs = F.add(FR, rhs, pr)
+    term = F.mont_mul(
+        FR, jnp.broadcast_to(qact_ev[:, None, :], lhs.shape),
+        F.sub(FR, lhs, rhs))
+    return _wsum(ws, term)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _j_lookup_h_terms_batch(dom_ext, acc, ws, h_stack, l_stack, qact_ev,
+                            cpow, beta_m):
+    return F.add(FR, acc, _lookup_h_terms_partial(
+        dom_ext, ws, h_stack, l_stack, qact_ev, cpow, beta_m))
+
+
+def _perm_chunks_partial(dom_ext, ws, z_stack, v_stack, sig_stack, dpows,
+                         qact_ev, cpow, xcoset, beta_m, gamma_m):
+    """J FULL permutation chunks -> (L, E) weighted sum. z_stack:
+    (L, J, n); v_stack/sig_stack: (L, J, CH, n); dpows: (L, J, CH).
+    Padded chunks (all-zero stacks) must carry weight 0."""
+    J, CH = v_stack.shape[1], v_stack.shape[2]
+    z = _coset(dom_ext, z_stack, cpow)  # (L, J, E)
+    lhs, rhs = _roll(z, 1), z
+    for i in range(CH):
+        v = _coset(dom_ext, v_stack[:, :, i], cpow)
+        sig = _coset(dom_ext, sig_stack[:, :, i], cpow)
+        bb = jnp.broadcast_to(beta_m[:, None, None], v.shape)
+        gg = jnp.broadcast_to(gamma_m[:, None, None], v.shape)
+        lhs = F.mont_mul(FR, lhs, F.add(
+            FR, v, F.add(FR, F.mont_mul(FR, bb, sig), gg)))
+        did = F.mont_mul(
+            FR, jnp.broadcast_to(dpows[:, :, i, None], v.shape),
+            jnp.broadcast_to(xcoset[:, None, :], v.shape))
+        rhs = F.mont_mul(FR, rhs, F.add(
+            FR, v, F.add(FR, F.mont_mul(FR, bb, did), gg)))
+    term = F.mont_mul(
+        FR, jnp.broadcast_to(qact_ev[:, None, :], lhs.shape),
+        F.sub(FR, lhs, rhs))
+    return _wsum(ws, term)
+
+
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _j_perm_chunks_batch(dom_ext, acc, ws, z_stack, v_stack, sig_stack,
+                         dpows, qact_ev, cpow, xcoset, beta_m, gamma_m):
+    return F.add(FR, acc, _perm_chunks_partial(
+        dom_ext, ws, z_stack, v_stack, sig_stack, dpows, qact_ev, cpow,
+        xcoset, beta_m, gamma_m))
+
+
+def _perm_chains_partial(dom_ext, u, ws, zj_stack, zprev_stack,
+                         qfirst_ev, cpow):
+    """Chain terms for a batch of consecutive z polys. Padding rows must
+    carry weight 0."""
+    zj = _coset(dom_ext, zj_stack, cpow)
+    zprev_u = jnp.roll(_coset(dom_ext, zprev_stack, cpow),
+                       -EXT_FACTOR * u, axis=-1)
+    term = F.mont_mul(
+        FR, jnp.broadcast_to(qfirst_ev[:, None, :], zj.shape),
+        F.sub(FR, zj, zprev_u))
+    return _wsum(ws, term)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
+def _j_perm_chains_batch(dom_ext, u, acc, ws, zj_stack, zprev_stack,
+                         qfirst_ev, cpow):
+    return F.add(FR, acc, _perm_chains_partial(
+        dom_ext, u, ws, zj_stack, zprev_stack, qfirst_ev, cpow))
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -220,17 +356,6 @@ def _j_perm_chunk_term(dom_ext, acc, w, z_coeffs, v_coeffs, sig_coeffs,
         rhs = F.mont_mul(FR, rhs, F.add(
             FR, v, F.add(FR, F.mont_mul(FR, bb, did), gg)))
     return F.add(FR, acc, _wmul(w, F.mont_mul(FR, qact, F.sub(FR, lhs, rhs))))
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
-def _j_perm_chain_term(dom_ext, u, acc, w, zj_coeffs, zprev_coeffs,
-                       qfirst_coeffs, cpow):
-    zj = _j_coset(dom_ext, zj_coeffs, cpow)
-    zprev_u = jnp.roll(_j_coset(dom_ext, zprev_coeffs, cpow),
-                       -EXT_FACTOR * u, axis=-1)
-    sel = _j_coset(dom_ext, qfirst_coeffs, cpow)
-    return F.add(FR, acc, _wmul(w, F.mont_mul(
-        FR, sel, F.sub(FR, zj, zprev_u))))
 
 
 @_jit(1)
@@ -330,7 +455,7 @@ def _j_lookup_aux(dom, u, lk_cols, m_vals, table_vals, beta_m, rand_h,
     h_coeffs = N.intt(dom, h_all)
     g_coeffs = N.intt(dom, g_vals)
     phi_coeffs = N.intt(dom, phi)
-    return h_all, h_coeffs, g_coeffs, phi_coeffs
+    return h_all, g_vals, phi, h_coeffs, g_coeffs, phi_coeffs
 
 
 @_jit(2)
@@ -388,7 +513,14 @@ def _j_perm_z(dom, u, perm_vals, sigma_vals, dpow, wpow, beta_m, gamma_m,
 # ---------------------------------------------------------------------------
 
 def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
-          rng_seed: bytes | None = None, debug: bool = False) -> bytes:
+          rng_seed: bytes | None = None, debug: bool = False,
+          mesh=None, mesh_axis: str = "chips") -> bytes:
+    """Produce a proof. With mesh (a jax.sharding.Mesh), the hot stages
+    run multi-chip: commitment MSMs shard the SRS-point axis
+    (parallel/sharding.sharded_msm_tab) and quotient constraint batches
+    shard the term axis (sharded_term_batch), partial results combining
+    over ICI collectives. The proof bytes are identical to the
+    single-device path (exact field arithmetic, layout-only change)."""
     asm = pk.asm
     k, n, u = asm.k, asm.n, asm.u
     dom = N.Domain.new(k)
@@ -399,9 +531,18 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     shape = pk.vk.shape
 
     import random as _random
-    rng = _random.Random(rng_seed or os.urandom(16))
+    # blinding randomness: OS CSPRNG by default; the seeded Mersenne
+    # Twister path exists ONLY for deterministic tests/benches
+    # (ADVICE.md round-1 low)
+    rng = (_random.SystemRandom() if rng_seed is None
+           else _random.Random(rng_seed))
+
+    from ..utils.profiling import StageTimer
+    _timer = StageTimer("prove", stream=None)
 
     tr = Transcript()
+    # bind the proof to the circuit: vk digest first, then the statement
+    tr.common_bytes(vk_digest(pk.vk))
     witgen = make_witgen(circuit_fn)
 
     # ---- phase 0 -----------------------------------------------------------
@@ -422,19 +563,37 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
                                 scatter_idx, blind)
     p0 = asm.num_p0_cols
 
+    committer = make_committer(srs, n, u, mesh=mesh, mesh_axis=mesh_axis)
+
     def commit_evals(evals):
-        """Advice commitment: width-aware Lagrange-basis MSMs when the
-        SRS carries the Lagrange points, else coefficient-form MSMs
-        (ZKFHE_NO_LAGRANGE=1 forces the coefficient path for A/B runs)."""
+        """Advice commitment (width-tiered main rows + shared blind
+        tail). Default: the fixed-base table MSM; ZKFHE_MSM=scanlag
+        forces the round-1 bucket-scan Lagrange path, ZKFHE_MSM=scan
+        (or ZKFHE_NO_LAGRANGE=1) the coefficient-form scan path."""
+        if committer is not None:
+            return committer.commit_values(evals)
         if srs.g1_lag is not None and not os.environ.get("ZKFHE_NO_LAGRANGE"):
             return commit_columns_lagrange(srs.g1_lag, evals, u)
         return commit_columns(srs, N.intt(dom, evals))
+
+    def commit_vals(vals):
+        """Full-width evaluation-form columns (lookup helpers, z polys)."""
+        if committer is not None:
+            return committer.commit_values(vals, split_tail=False)
+        return commit_columns(srs, N.intt(dom, vals))
+
+    def commit_coeffs(coeffs):
+        """Full-width coefficient-form columns (quotient, W, random)."""
+        if committer is not None:
+            return committer.commit_coeffs(coeffs, dom)
+        return commit_columns(srs, coeffs)
 
     commits_p0 = commit_evals(adv[:, :p0]) if p0 else []
     for pt in commits_p0:
         tr.write_point(pt)
 
     _log("phase-0 committed")
+    _timer.mark("phase0_commit")
     gamma = tr.challenge()
 
     # ---- full witness with the real challenge ------------------------------
@@ -444,6 +603,13 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     # the transcript before gamma)
     assert np.array_equal(np.asarray(instance), np.asarray(instance1)), \
         "instance values depend on the challenge"
+    # ... and so must every phase-0 ADVICE cell: the phase-0 commitment
+    # was produced from run 1's values, while evaluations use run 2's —
+    # any gamma-dependence here would silently yield an invalid proof
+    # (VERDICT round-1 weak #7).
+    assert np.array_equal(np.asarray(values0[CTX_P0]),
+                          np.asarray(values1[CTX_P0])), \
+        "phase-0 advice values depend on the challenge"
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
                                 scatter_idx, blind)
     commits_p1 = commit_evals(adv[:, p0:])
@@ -489,25 +655,28 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             tr.write_point(pt)
 
     _log("phase-1 + multiplicities committed")
+    _timer.mark("phase1_commit")
     beta_l = tr.challenge()
     beta_lm = _enc_mont_scalar(beta_l)
 
     if nlk:
-        h_all, h_coeffs, g_coeffs, phi_coeffs = _j_lookup_aux(
-            dom, u, adv[:, lk_base:, :], m_vals, table_vals, beta_lm,
-            jnp.asarray(_rand_field_rows(rng, ngroups, n - u)),
-            jnp.asarray(_rand_field_rows(rng, 1, n - u)[:, 0]),
-            jnp.asarray(_rand_field_rows(rng, 1, n - u - 1)[:, 0]),
-        )
+        h_all, g_vals, phi_vals, h_coeffs, g_coeffs, phi_coeffs = \
+            _j_lookup_aux(
+                dom, u, adv[:, lk_base:, :], m_vals, table_vals, beta_lm,
+                jnp.asarray(_rand_field_rows(rng, ngroups, n - u)),
+                jnp.asarray(_rand_field_rows(rng, 1, n - u)[:, 0]),
+                jnp.asarray(_rand_field_rows(rng, 1, n - u - 1)[:, 0]),
+            )
         polys.add_stack([f"lookup_h{g}" for g in range(ngroups)], h_coeffs)
         polys["lookup_g"] = g_coeffs
         polys["lookup_phi"] = phi_coeffs
-        aux = jnp.concatenate(
-            [h_coeffs, g_coeffs[:, None], phi_coeffs[:, None]], axis=1)
-        for pt in commit_columns(srs, aux):
+        aux_vals = jnp.concatenate(
+            [h_all, g_vals[:, None], phi_vals[:, None]], axis=1)
+        for pt in commit_vals(aux_vals):
             tr.write_point(pt)
 
     _log("lookup helpers committed")
+    _timer.mark("lookup_commit")
     beta_p = tr.challenge()
     gamma_p = tr.challenge()
     beta_pm = _enc_mont_scalar(beta_p)
@@ -530,17 +699,20 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
         jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
     )
-    del perm_vals, adv  # large Lagrange buffers no longer needed
+    del perm_vals  # large Lagrange buffer no longer needed
+    if not debug:
+        del adv  # kept only for the debug on-domain term check below
     polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
-    for pt in commit_columns(srs, z_coeffs):
+    for pt in commit_vals(z_lag):
         tr.write_point(pt)
 
     rand_coeffs = jnp.asarray(_rand_field_rows(rng, 1, n)[:, 0])
     polys["random"] = rand_coeffs
-    for pt in commit_columns(srs, rand_coeffs[:, None]):
+    for pt in commit_coeffs(rand_coeffs[:, None]):
         tr.write_point(pt)
 
     _log("permutation products + random committed")
+    _timer.mark("perm_commit")
     y = tr.challenge()
 
     if debug:
@@ -548,9 +720,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             pk, dom, adv, inst_vals, gamma, beta_l, beta_p, gamma_p,
             [z_lag[:, j] for j in range(nz)],
             dict(h_all=h_all if nlk else None,
-                 g_vals=N.ntt(dom, g_coeffs) if nlk else None,
+                 g_vals=g_vals if nlk else None,
                  m_vals=m_vals if nlk else None,
-                 phi=N.ntt(dom, phi_coeffs) if nlk else None,
+                 phi=phi_vals if nlk else None,
                  table_vals=table_vals, dpow=dpow, wpow=wpow))
 
     # ---- quotient on the extended coset ------------------------------------
@@ -580,23 +752,159 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     gamma_m = _enc_mont_scalar(gamma)
     acc = jnp.zeros((L, ext_n), dtype=jnp.uint32)
 
+    # shared fixed cosets, computed ONCE (the round-1 loop re-NTT'd q_act
+    # for every lookup/permutation term)
+    qact_ev = _j_coset(dom_ext, fco("q_act"), cpow)
+
+    zero_col = jnp.zeros((L, n), dtype=jnp.uint32)
+
+    def enc_ws(tis, width):
+        vals = [y_w[ti] for ti in tis] + [0] * (width - len(tis))
+        return jnp.asarray(F.encode(FR, vals, mont=True))
+
+    # ---- gate + challenge terms, in fixed-width batches -------------------
+    # Under a mesh, batch widths round up to a multiple of the device
+    # count so sharded_term_batch can split the term axis evenly; padding
+    # lanes carry weight 0 (and zero stacks), contributing nothing.
+    nd = 1 if mesh is None else mesh.shape[mesh_axis]
+    GATE_BATCH = -(-8 // nd) * nd
+    PERMJ = -(-4 // nd) * nd
+    if mesh is not None:
+        from ..parallel import sharding as SH
+
+    def batched_acc(acc, jit_fn, partial_fn, static_args, ws, stacks,
+                    consts):
+        """One term-batch accumulation: single-device jitted kernel, or
+        term-axis-sharded partial + combine when a mesh is given."""
+        if mesh is None:
+            return jit_fn(*static_args, acc, ws, *stacks, *consts)
+        part = SH.sharded_term_batch(partial_fn, static_args, ws, stacks,
+                                     consts, mesh, mesh_axis)
+        # pull the replicated partial onto ONE device: otherwise acc (and
+        # everything derived from it — quotient coeffs, evals) carries
+        # mesh-axis type metadata, retracing every downstream single-
+        # device kernel and re-running it replicated on all mesh devices
+        part = jax.device_put(part, mesh.devices.flat[0])
+        return _j_acc_add(acc, part)
+
+    by_kind = {}
+    for ti, (kind, arg) in enumerate(terms):
+        by_kind.setdefault(kind, []).append((ti, arg))
+
+    for s in range(0, len(by_kind.get("gate", [])), GATE_BATCH):
+        grp = by_kind["gate"][s:s + GATE_BATCH]
+        npad = GATE_BATCH - len(grp)
+        a_stack = jnp.stack([polys[f"adv{arg}"] for _, arg in grp]
+                            + [zero_col] * npad, axis=1)
+        sel_stack = jnp.stack([fco(f"sel_{arg}") for _, arg in grp]
+                              + [zero_col] * npad, axis=1)
+        acc = batched_acc(
+            acc, _j_gate_terms_batch, _gate_terms_partial, (dom_ext,),
+            enc_ws([ti for ti, _ in grp], GATE_BATCH),
+            [a_stack, sel_stack], [cpow])
+
+    for s in range(0, len(by_kind.get("challenge", [])), GATE_BATCH):
+        grp = by_kind["challenge"][s:s + GATE_BATCH]
+        npad = GATE_BATCH - len(grp)
+        a_stack = jnp.stack([polys[f"adv{arg}"] for _, arg in grp]
+                            + [zero_col] * npad, axis=1)
+        qg_stack = jnp.stack([fco(f"qgamma_{arg}") for _, arg in grp]
+                             + [zero_col] * npad, axis=1)
+        acc = batched_acc(
+            acc, _j_chal_terms_batch, _chal_terms_partial, (dom_ext,),
+            enc_ws([ti for ti, _ in grp], GATE_BATCH),
+            [a_stack, qg_stack], [cpow, gamma_m])
+
+    # ---- logUp helper terms: all FULL groups in one dispatch --------------
+    lk_full, lk_ragged = [], []
+    for ti, g in by_kind.get("lookup_h", []):
+        cols = list(range(g * LOOKUP_GROUP, min((g + 1) * LOOKUP_GROUP, nlk)))
+        (lk_full if len(cols) == LOOKUP_GROUP else lk_ragged).append(
+            (ti, g, cols))
+    if lk_full:
+        ngpad = -(-len(lk_full) // nd) * nd - len(lk_full)
+        h_stack = jnp.stack([polys[f"lookup_h{g}"] for _, g, _ in lk_full]
+                            + [zero_col] * ngpad, axis=1)
+        zero_grp = jnp.zeros((L, LOOKUP_GROUP, n), dtype=jnp.uint32)
+        l_stack = jnp.stack(
+            [jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
+             for _, _, cols in lk_full] + [zero_grp] * ngpad, axis=1)
+        acc = batched_acc(
+            acc, _j_lookup_h_terms_batch, _lookup_h_terms_partial,
+            (dom_ext,),
+            enc_ws([ti for ti, _, _ in lk_full], len(lk_full) + ngpad),
+            [h_stack, l_stack], [qact_ev, cpow, beta_lm])
+    for ti, g, cols in lk_ragged:
+        lstack = jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
+        acc = _j_lookup_h_term(dom_ext, acc, _enc_mont_scalar(y_w[ti]),
+                               polys[f"lookup_h{g}"], lstack, fco("q_act"),
+                               cpow, beta_lm)
+
+    # ---- permutation chunk terms: FULL chunks in batches of PERMJ ---------
+    def perm_col(i):
+        if i < asm.num_advice:
+            return polys[f"adv{i}"]
+        if i == asm.num_advice:
+            return fco("const")
+        return polys["instance"]
+
+    pc_full = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
+               if min((j + 1) * PERM_CHUNK, P) - j * PERM_CHUNK == PERM_CHUNK]
+    pc_ragged = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
+                 if (ti, j) not in pc_full]
+    for s in range(0, len(pc_full), PERMJ):
+        grp = pc_full[s:s + PERMJ]
+        npad = PERMJ - len(grp)
+        zpad = [zero_col] * npad
+
+        def chunk_stack(fn):
+            rows = [jnp.stack([fn(i) for i in range(j * PERM_CHUNK,
+                                                    (j + 1) * PERM_CHUNK)],
+                              axis=1) for _, j in grp]
+            rows += [jnp.stack([zero_col] * PERM_CHUNK, axis=1)] * npad
+            return jnp.stack(rows, axis=1)
+
+        z_stack = jnp.stack([polys[f"perm_z{j}"] for _, j in grp] + zpad,
+                            axis=1)
+        v_stack = chunk_stack(perm_col)
+        sig_stack = chunk_stack(lambda i: polys[f"sigma{i}"])
+        dp_rows = [dpow[:, j * PERM_CHUNK:(j + 1) * PERM_CHUNK]
+                   for _, j in grp]
+        dp_rows += [jnp.zeros((L, PERM_CHUNK), dtype=jnp.uint32)] * npad
+        dpows = jnp.stack(dp_rows, axis=1)
+        acc = batched_acc(
+            acc, _j_perm_chunks_batch, _perm_chunks_partial, (dom_ext,),
+            enc_ws([ti for ti, _ in grp], PERMJ),
+            [z_stack, v_stack, sig_stack, dpows],
+            [qact_ev, cpow, xcoset, beta_pm, gamma_pm])
+    for ti, j in pc_ragged:
+        idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
+        acc = _j_perm_chunk_term(
+            dom_ext, acc, _enc_mont_scalar(y_w[ti]), polys[f"perm_z{j}"],
+            jnp.stack([perm_col(i) for i in idxs], axis=1),
+            jnp.stack([polys[f"sigma{i}"] for i in idxs], axis=1),
+            fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
+            beta_pm, gamma_pm)
+
+    # ---- chain terms in batches -------------------------------------------
+    qfirst_ev = _j_coset(dom_ext, fco("q_first"), cpow)
+    chains = by_kind.get("perm_chain", [])
+    for s in range(0, len(chains), GATE_BATCH):
+        grp = chains[s:s + GATE_BATCH]
+        npad = GATE_BATCH - len(grp)
+        zj_stack = jnp.stack([polys[f"perm_z{j}"] for _, j in grp]
+                             + [zero_col] * npad, axis=1)
+        zp_stack = jnp.stack([polys[f"perm_z{j - 1}"] for _, j in grp]
+                             + [zero_col] * npad, axis=1)
+        acc = batched_acc(
+            acc, _j_perm_chains_batch, _perm_chains_partial, (dom_ext, u),
+            enc_ws([ti for ti, _ in grp], GATE_BATCH),
+            [zj_stack, zp_stack], [qfirst_ev, cpow])
+
+    # ---- singleton terms ---------------------------------------------------
     for ti, (kind, arg) in enumerate(terms):
         w = _enc_mont_scalar(y_w[ti])
-        if kind == "gate":
-            acc = _j_gate_term(dom_ext, acc, w, polys[f"adv{arg}"],
-                               fco(f"sel_{arg}"), cpow)
-        elif kind == "challenge":
-            acc = _j_chal_term(dom_ext, acc, w, polys[f"adv{arg}"],
-                               fco(f"qgamma_{arg}"), cpow, gamma_m)
-        elif kind == "lookup_h":
-            g = arg
-            cols = list(range(g * LOOKUP_GROUP,
-                              min((g + 1) * LOOKUP_GROUP, nlk)))
-            lstack = jnp.stack(
-                [polys[f"adv{lk_base + i}"] for i in cols], axis=1)
-            acc = _j_lookup_h_term(dom_ext, acc, w, polys[f"lookup_h{g}"],
-                                   lstack, fco("q_act"), cpow, beta_lm)
-        elif kind == "lookup_table":
+        if kind == "lookup_table":
             acc = _j_lookup_table_term(
                 dom_ext, acc, w, polys["lookup_g"], fco("table"),
                 polys["lookup_m"], fco("q_act"), cpow, beta_lm)
@@ -613,32 +921,13 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         elif kind == "perm_first":
             acc = _j_sel_poly_minus_one_term(
                 dom_ext, acc, w, polys["perm_z0"], fco("q_first"), cpow)
-        elif kind == "perm_chunk":
-            j = arg
-            idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
-            vstack, sstack = [], []
-            for i in idxs:
-                if i < asm.num_advice:
-                    vstack.append(polys[f"adv{i}"])
-                elif i == asm.num_advice:
-                    vstack.append(fco("const"))
-                else:
-                    vstack.append(polys["instance"])
-                sstack.append(polys[f"sigma{i}"])
-            acc = _j_perm_chunk_term(
-                dom_ext, acc, w, polys[f"perm_z{j}"],
-                jnp.stack(vstack, axis=1), jnp.stack(sstack, axis=1),
-                fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
-                beta_pm, gamma_pm)
-        elif kind == "perm_chain":
-            j = arg
-            acc = _j_perm_chain_term(
-                dom_ext, u, acc, w, polys[f"perm_z{j}"],
-                polys[f"perm_z{j - 1}"], fco("q_first"), cpow)
         elif kind == "perm_last":
             acc = _j_sel_poly_minus_one_term(
                 dom_ext, acc, w, polys[f"perm_z{nz - 1}"], fco("q_last"),
                 cpow)
+        elif kind in ("gate", "challenge", "lookup_h", "perm_chunk",
+                      "perm_chain"):
+            pass  # handled by the batched kernels above
         else:
             raise AssertionError(kind)
 
@@ -657,10 +946,11 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         L, PROTO.NUM_QUOT_CHUNKS, n)
     del h_coeffs_full
     polys.add_stack([f"quot{i}" for i in range(PROTO.NUM_QUOT_CHUNKS)], hq)
-    for pt in commit_columns(srs, hq):
+    for pt in commit_coeffs(hq):
         tr.write_point(pt)
 
     _log("quotient committed")
+    _timer.mark("quotient")
     x = tr.challenge()
 
     # ---- evaluations --------------------------------------------------------
@@ -709,6 +999,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         print("DEBUG identity F(x) == Z_H(x)h(x):", acc_x == zh_x * h_x % FR.p)
 
     _log("evaluations written")
+    _timer.mark("evals")
     v = tr.challenge()
 
     # ---- GWC multiopen ------------------------------------------------------
@@ -738,10 +1029,13 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         wpolys.append(_j_divide_linear(
             comb, _enc_mont_scalar(combined_eval), _enc_mont_scalar(z),
             _enc_mont_scalar(pow(z, FR.p - 2, FR.p))))
-    for pt in commit_columns(srs, jnp.stack(wpolys, axis=1)):
+    for pt in commit_coeffs(jnp.stack(wpolys, axis=1)):
         tr.write_point(pt)
 
     _log("multiopen witnesses committed; proof done")
+    _timer.mark("multiopen")
+    LAST_STAGES.clear()
+    LAST_STAGES.update(_timer.summary())
     return tr.proof_bytes()
 
 

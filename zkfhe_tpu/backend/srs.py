@@ -133,18 +133,7 @@ def load_or_generate_lagrange(k: int, params_dir: str = "params"):
     return X, Y
 
 
-def to_affine_xy(P):
-    """Jacobian batch -> affine (X, Y) Montgomery arrays. Infinity lanes
-    map to (0, 0) (not expected in an SRS)."""
-    X, Y, Z = P
-    zinv = F.batch_inv(FQ, Z)
-    z2 = F.mont_mul(FQ, zinv, zinv)
-    z3 = F.mont_mul(FQ, z2, zinv)
-    ax = F.mont_mul(FQ, X, z2)
-    ay = F.mont_mul(FQ, Y, z3)
-    inf = F.is_zero(Z)
-    zero = F.zero(X.shape[1:])
-    return F.select(inf, zero, ax), F.select(inf, zero, ay)
+to_affine_xy = C.to_affine_xy
 
 
 def path_for(k: int, params_dir: str = "params") -> str:

@@ -27,7 +27,9 @@ elementwise pipeline, hence the Pallas kernel in ops/pallas_field.py.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
@@ -292,9 +294,185 @@ def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R,
     return _msm_horner(totals, c)
 
 
+# ---------------------------------------------------------------------------
+# Fixed-base table MSM (the TPU-native fast path)
+#
+# Every MSM in the proving pipeline runs against FIXED bases (the SRS
+# Lagrange points [L_j(tau)]G1 — SURVEY.md §2.2 "KZG/SHPLONK + Pippenger
+# MSM"). That admits a precompute the scan Pippenger above cannot use:
+# for every base point P_i, window w and multiple m in 1..2^(c-1), store
+#     T[w, m, i] = m * 2^(c*w) * P_i      (affine, built once per SRS)
+# A commitment is then sum over all (window, point) lanes of one gathered
+# table entry (signed digit -> +-T[w,|d|,i]), reduced by a LOG-DEPTH tree
+# of complete Jacobian adds. No sequential bucket scan, no window Horner
+# doublings — the whole MSM is ~log2(W*n) fully-vectorized EC-add levels,
+# which is what the TPU's dispatch/latency model wants (the round-1 scan
+# path was latency-bound at ~4M adds/s; the tree form is compute-bound).
+#
+# Narrow scalars (most advice values in this circuit are <= 29 bits,
+# SURVEY.md §3.5) gather only their low windows: work is n*K*W(bits).
+# ---------------------------------------------------------------------------
+
+TAB_C = 4
+TAB_M = 1 << (TAB_C - 1)  # multiples 1..8 per (window, point)
+
+# width tiers for the table path: scalar-bit bound -> window count
+TAB_TIERS = (32, 52, 256)
+
+
+def tab_tier_bits(max_bits: int) -> int:
+    for b in TAB_TIERS:
+        if max_bits <= b:
+            return b
+    return 256
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _j_build_table(PX, PY, W, c):
+    """(L, n) affine Montgomery bases -> (L, W, M, n) X/Y affine tables
+    of m * 2^(c*w) * P_i. Scan over windows: emit the affine multiples,
+    then shift by c doublings for the next window."""
+    one = F.const(FQ, FQ.to_mont_int(1), PX.shape[1:])
+    base = (PX, PY, jnp.broadcast_to(jnp.asarray(one), PX.shape))
+
+    def step(state, _):
+        X, Y, Z = state
+        mults = [(X, Y, Z)]
+        for m in range(2, TAB_M + 1):
+            if m % 2 == 0:
+                mults.append(C.point_double(mults[m // 2 - 1]))
+            else:
+                mults.append(C.point_add(mults[-1], (X, Y, Z)))
+        mX = jnp.stack([t[0] for t in mults], axis=1)  # (L, M, n)
+        mY = jnp.stack([t[1] for t in mults], axis=1)
+        mZ = jnp.stack([t[2] for t in mults], axis=1)
+        aX, aY = C.to_affine_xy((mX, mY, mZ))
+        nxt = (X, Y, Z)
+        for _ in range(c):
+            nxt = C.point_double(nxt)
+        return nxt, (aX, aY)
+
+    _, (tX, tY) = jax.lax.scan(step, base, None, length=W)
+    # (W, L, M, n) -> (L, W, M, n)
+    return jnp.moveaxis(tX, 0, 1), jnp.moveaxis(tY, 0, 1)
+
+
+@dataclasses.dataclass
+class PointTable:
+    """Precomputed shifted-multiple tables for one fixed base set."""
+
+    X: jnp.ndarray  # (L, W, M, n)
+    Y: jnp.ndarray
+    c: int = TAB_C
+
+    @property
+    def n(self):
+        return self.X.shape[3]
+
+    @property
+    def windows(self):
+        return self.X.shape[1]
+
+
+def build_table(points, max_bits: int = 256, c: int = TAB_C) -> PointTable:
+    """points: (X, Y) affine Montgomery (L, n) -> PointTable covering
+    scalars < 2^max_bits."""
+    PX, PY = points
+    W = num_windows(c, max_bits)
+    tX, tY = _j_build_table(PX, PY, W, c)
+    return PointTable(X=tX, Y=tY, c=c)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _j_msm_tab(tabX, tabY, scalars, c, max_bits, row_offset):
+    """Gather + tree-reduce MSM against a PointTable.
+
+    scalars: (L, K, rows) standard-form limbs; logical point i for column
+    entry j is row_offset + j. Returns Jacobian (L, K)."""
+    L_, W_full, M, n = tabX.shape
+    K, rows = scalars.shape[1], scalars.shape[2]
+    W = num_windows(c, max_bits)
+    assert W <= W_full, (W, W_full)
+
+    digits = signed_digits(scalars, c, max_bits)  # (W, K, rows) int32
+    digits = jnp.moveaxis(digits, 0, 1)  # (K, W, rows)
+    mag = jnp.abs(digits)
+    neg = (digits < 0).reshape(K, W * rows)
+    live = (mag != 0).reshape(K, W * rows)
+    m_idx = jnp.maximum(mag - 1, 0)
+    w_idx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+    i_idx = jnp.arange(rows, dtype=jnp.int32)[None, None, :] + row_offset
+    flat = (w_idx * (M * n) + m_idx * n + i_idx).reshape(-1)
+
+    gx = jnp.take(tabX.reshape(L_, -1), flat, axis=1).reshape(L_, K, W * rows)
+    gy = jnp.take(tabY.reshape(L_, -1), flat, axis=1).reshape(L_, K, W * rows)
+    gy = F.select(neg, F.sub(FQ, F.zero((K, W * rows)), gy), gy)
+    one_m = F.const(FQ, FQ.to_mont_int(1), (K, W * rows))
+    gz = F.select(live, jnp.asarray(one_m), F.zero((K, W * rows)))
+    return jnp.stack(
+        C.tree_reduce_points_halves((gx, gy, gz), first_mixed=True), axis=0)
+
+
+def msm_tab(table: PointTable, scalars, max_bits: int = 256,
+            row_offset: int = 0):
+    """MSM of (L, K, rows) standard-form scalars against table points
+    [row_offset, row_offset+rows). Returns Jacobian (X, Y, Z) each (L, K).
+    max_bits is quantized to TAB_TIERS (bounds the compiled-shape set)."""
+    mb = tab_tier_bits(max_bits)
+    if os.environ.get("ZKFHE_PROBE"):  # debug
+        print(f"[probe msm_tab] scalars={scalars.shape} mb={mb} "
+              f"off={row_offset}", flush=True)
+        jax.block_until_ready(scalars)
+        print("[probe msm_tab] scalars synced", flush=True)
+        out = _j_msm_tab(table.X, table.Y, scalars, table.c, mb, row_offset)
+        try:
+            jax.block_until_ready(out)
+            print("[probe msm_tab] result synced OK", flush=True)
+        except Exception as e:
+            print(f"[probe msm_tab] EXEC FAILED {type(e).__name__}",
+                  flush=True)
+            raise
+        return out[0], out[1], out[2]
+    out = _j_msm_tab(table.X, table.Y, scalars, table.c, mb, row_offset)
+    return out[0], out[1], out[2]
+
+
 def msm_host(points: list[C.AffinePoint], scalars: list[int]) -> C.AffinePoint:
     """Host reference MSM (naive double-and-add) for tests."""
     acc = C.AffinePoint()
     for p, s in zip(points, scalars):
         acc = acc.add(p.mul(s))
     return acc
+
+
+def msm_host_pippenger(points: list[C.AffinePoint], scalars: list[int],
+                       c: int = 8) -> C.AffinePoint:
+    """Host Pippenger over Jacobian python-int coordinates. This is the
+    verifier's MSM: a few hundred points in ~tens of ms, with zero device
+    work (verification must not trigger XLA compiles)."""
+    p = FQ.p
+    live = [(pt, s % FR.p) for pt, s in zip(points, scalars)
+            if not pt.infinity and s % FR.p != 0]
+    if not live:
+        return C.AffinePoint()
+    W = (256 + c - 1) // c
+    acc = None
+    nb = 1 << c
+    for w in range(W - 1, -1, -1):
+        if acc is not None:
+            for _ in range(c):
+                acc = C.jac_double(acc, p)
+        buckets = [None] * nb
+        shift = c * w
+        for pt, s in live:
+            d = (s >> shift) & (nb - 1)
+            if d:
+                buckets[d] = C.jac_add_affine(buckets[d], pt, p)
+        run, tot = None, None
+        for b in range(nb - 1, 0, -1):
+            if buckets[b] is not None:
+                run = C.jac_add(run, buckets[b], p)
+            if run is not None:
+                tot = C.jac_add(tot, run, p)
+        acc = C.jac_add(acc, tot, p)
+    return C.jac_to_affine(acc, p)

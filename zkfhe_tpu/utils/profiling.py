@@ -15,8 +15,9 @@ class StageTimer:
 
     def __init__(self, label: str = "zkfhe", stream=sys.stderr):
         self.label = label
-        self.stream = stream
+        self.stream = stream  # None silences per-stage prints
         self.stages = []
+        self._last = time.time()
 
     @contextlib.contextmanager
     def stage(self, name: str, sync=None):
@@ -26,9 +27,20 @@ class StageTimer:
             import jax
             jax.block_until_ready(sync)
         dt = time.time() - t0
+        self._record(name, dt)
+
+    def mark(self, name: str):
+        """Record the time since construction / the previous mark — the
+        linear-pipeline counterpart of stage() (used by prover.prove)."""
+        now = time.time()
+        self._record(name, now - self._last)
+        self._last = now
+
+    def _record(self, name, dt):
         self.stages.append((name, dt))
-        print(f"[{self.label}] {name}: {dt:.3f}s", file=self.stream,
-              flush=True)
+        if self.stream is not None:
+            print(f"[{self.label}] {name}: {dt:.3f}s", file=self.stream,
+                  flush=True)
 
     def summary(self) -> dict:
         return {name: round(dt, 4) for name, dt in self.stages}
