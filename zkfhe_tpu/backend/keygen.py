@@ -13,6 +13,7 @@ import json
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import curve as C
@@ -75,6 +76,13 @@ def commit_columns(srs: SRS.SRS, coeffs_mont, batch: int = MSM_BATCH):
 TAIL_KS = (8, 64, 256)
 TAIL_R = 8
 
+
+@jax.jit
+def _j_stacked_add(a, b):
+    """(3, L, K) + (3, L, K) stacked-Jacobian complete point add."""
+    return jnp.stack(C.point_add((a[0], a[1], a[2]), (b[0], b[1], b[2])),
+                     axis=0)
+
 # Table-MSM batch sizes (columns per launch). Full-width gathers are
 # ~65/14 the size of tier gathers, so they run narrower batches to bound
 # the tree's level-0 working set.
@@ -109,31 +117,22 @@ class Committer:
     @property
     def table(self) -> M.PointTable:
         if self._tab is None:
-            X, Y = self.srs.g1_lag
-            self._tab = M.build_table((X[:, : self.n], Y[:, : self.n]))
-            if os.environ.get("ZKFHE_PROBE"):  # debug
-                import jax as _jax
-                try:
-                    _jax.block_until_ready(self._tab.X)
-                    print("[probe] table build synced OK", flush=True)
-                except Exception as e:
-                    print(f"[probe] table build FAILED {type(e).__name__}",
-                          flush=True)
+            # cache on the SRS object: rebuilding the table cost ~4 s of
+            # every prove when Committers are per-call
+            cached = getattr(self.srs, "_tab_cache", None)
+            if cached is not None and cached.n == self.n:
+                self._tab = cached
+            else:
+                X, Y = self.srs.g1_lag
+                self._tab = M.build_table((X[:, : self.n], Y[:, : self.n]))
+                self.srs._tab_cache = self._tab
         return self._tab
 
-    def _run(self, std, max_bits, row_offset, kpad):
-        """(L, K, rows) standard-form scalars -> K affine host points."""
-        if os.environ.get("ZKFHE_PROBE"):  # debug: free-HBM probe
-            import jax as _jax
-            for gb in (1, 4, 8):
-                try:
-                    x = jnp.ones((gb * 256, 1024, 1024), jnp.float32)
-                    _jax.block_until_ready(x); del x
-                    print(f"[probe commit] {gb}GB ok", flush=True)
-                except Exception as e:
-                    print(f"[probe commit] {gb}GB FAILED "
-                          f"{type(e).__name__}", flush=True)
-                    break
+    def _msm(self, std, max_bits, row_offset, kpad):
+        """(L, K, rows) standard-form scalars -> (3, L, kpad) stacked
+        Jacobian, DISPATCHED but not synchronized: commits batch many
+        of these and pay one device->host transfer at the end (each
+        round trip over the remote-TPU tunnel costs ~hundreds of ms)."""
         K = std.shape[1]
         if K < kpad:
             std = jnp.pad(std, [(0, 0), (0, kpad - K), (0, 0)])
@@ -149,17 +148,22 @@ class Committer:
                               + std.shape[2]].set(std)
             res = sharded_msm_tab(self.table, std, self.mesh,
                                   self.mesh_axis, max_bits=max_bits)
-        else:
-            res = M.msm_tab(self.table, std, max_bits=max_bits,
-                            row_offset=row_offset)
-        return C.decode_points(res)[:K]
+            return jnp.stack([jnp.asarray(r) for r in res], axis=0)
+        return M.msm_tab_stacked(self.table, std, max_bits=max_bits,
+                                 row_offset=row_offset)
+
+    @staticmethod
+    def _decode(jac) -> list:
+        """ONE host transfer for a whole (3, L, K) stacked Jacobian."""
+        out = np.asarray(jac)
+        return C.decode_points((out[0], out[1], out[2]))
 
     def commit_values(self, vals_mont, split_tail: bool = True):
         """(L, K, n) Montgomery evaluation-form columns -> K commitments.
 
         split_tail: rows [0, u) are width-tiered per column; rows [u, n)
         (the full-width blinding tails of advice columns) are committed
-        for all K columns in one small shared launch and host-added.
+        for all K columns in one small shared launch and device-added.
         """
         L_, K, n = vals_mont.shape
         if K == 0:
@@ -167,17 +171,19 @@ class Committer:
         assert n == self.n
         std = F.from_mont(FR, vals_mont)
         if not split_tail:
-            out = []
+            parts = []
             for s in range(0, K, FULL_BATCH):
-                out.extend(self._run(std[:, s:s + FULL_BATCH], 256, 0,
-                                     FULL_BATCH))
-            return out
+                w = min(FULL_BATCH, K - s)
+                parts.append(self._msm(std[:, s:s + FULL_BATCH], 256, 0,
+                                       FULL_BATCH)[:, :, :w])
+            jac = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 2)
+            return self._decode(jac)[:K]
         u = self.u
         main = std[:, :, :u]
         widths = M.column_max_bits(main)
         tiers = [M.tab_tier_bits(w) for w in widths]
         order = np.argsort(np.asarray(tiers), kind="stable")
-        out = [None] * K
+        parts, perm = [], []
         i = 0
         while i < K:
             # HOMOGENEOUS tier batches only: mixing widths would run the
@@ -190,12 +196,15 @@ class Committer:
             while i < K and tiers[order[i]] == tier and len(idx) < cap:
                 idx.append(int(order[i]))
                 i += 1
-            pts = self._run(main[:, jnp.asarray(idx)], tier, 0, cap)
-            for pos, j in enumerate(idx):
-                out[j] = pts[pos]
+            parts.append(self._msm(main[:, jnp.asarray(idx)], tier, 0,
+                                   cap)[:, :, :len(idx)])
+            perm.extend(idx)
+        jac_main = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 2)
+        inv = np.argsort(np.asarray(perm, dtype=np.int64))
+        jac_main = jnp.take(jac_main, jnp.asarray(inv), axis=2)
         kpad = next((c for c in TAIL_KS if c >= K), -(-K // 64) * 64)
-        tail_pts = self._run(std[:, :, u:], 256, u, kpad)
-        return [a.add(b) for a, b in zip(out, tail_pts)]
+        tail = self._msm(std[:, :, u:], 256, u, kpad)[:, :, :K]
+        return self._decode(_j_stacked_add(jac_main, tail))
 
     def commit_coeffs(self, coeffs_mont, dom):
         """(L, K, n) Montgomery coefficient-form columns -> commitments

@@ -136,37 +136,34 @@ def _wsum(ws, terms):
 
 # ---- batched constraint-term kernels (one dispatch per GROUP of terms;
 # the round-1 per-term loop paid ~300 host->device dispatches and
-# recomputed shared fixed cosets like q_act dozens of times) -------------
+# recomputed shared fixed cosets like q_act dozens of times). All stacks
+# are PRECOMPUTED coset evaluations (L, G, E): ~900 inline coset NTTs
+# (advice cosets twice, sigma every prove) were 14 s of the round-2
+# quotient stage; the prove-level cache computes each poly's coset once.
 
-def _gate_terms_partial(dom_ext, ws, a_stack, sel_stack, cpow):
-    """ws: (L, G); a_stack/sel_stack: (L, G, n) coeffs -> (L, E) weighted
+def _gate_terms_partial(ws, a_ev, sel_ev):
+    """ws: (L, G); a_ev/sel_ev: (L, G, E) coset evals -> (L, E) weighted
     sum. Padding columns must carry weight 0 (their term value is then
     irrelevant). Partial form so the mesh path can shard the term axis
     (parallel/sharding.sharded_term_batch)."""
-    a = _coset(dom_ext, a_stack, cpow)
-    sel = _coset(dom_ext, sel_stack, cpow)
-    t = F.add(FR, a, F.mont_mul(FR, _roll(a, 1), _roll(a, 2)))
-    t = F.sub(FR, t, _roll(a, 3))
-    return _wsum(ws, F.mont_mul(FR, sel, t))
+    t = F.add(FR, a_ev, F.mont_mul(FR, _roll(a_ev, 1), _roll(a_ev, 2)))
+    t = F.sub(FR, t, _roll(a_ev, 3))
+    return _wsum(ws, F.mont_mul(FR, sel_ev, t))
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_gate_terms_batch(dom_ext, acc, ws, a_stack, sel_stack, cpow):
-    return F.add(FR, acc,
-                 _gate_terms_partial(dom_ext, ws, a_stack, sel_stack, cpow))
+@functools.partial(jax.jit, donate_argnums=0)
+def _j_gate_terms_batch(acc, ws, a_ev, sel_ev):
+    return F.add(FR, acc, _gate_terms_partial(ws, a_ev, sel_ev))
 
 
-def _chal_terms_partial(dom_ext, ws, a_stack, qg_stack, cpow, gamma_m):
-    a = _coset(dom_ext, a_stack, cpow)
-    sel = _coset(dom_ext, qg_stack, cpow)
-    gb = jnp.broadcast_to(gamma_m[:, None, None], a.shape)
-    return _wsum(ws, F.mont_mul(FR, sel, F.sub(FR, a, gb)))
+def _chal_terms_partial(ws, a_ev, qg_ev, gamma_m):
+    gb = jnp.broadcast_to(gamma_m[:, None, None], a_ev.shape)
+    return _wsum(ws, F.mont_mul(FR, qg_ev, F.sub(FR, a_ev, gb)))
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_chal_terms_batch(dom_ext, acc, ws, a_stack, qg_stack, cpow, gamma_m):
-    return F.add(FR, acc, _chal_terms_partial(dom_ext, ws, a_stack,
-                                              qg_stack, cpow, gamma_m))
+@functools.partial(jax.jit, donate_argnums=0)
+def _j_chal_terms_batch(acc, ws, a_ev, qg_ev, gamma_m):
+    return F.add(FR, acc, _chal_terms_partial(ws, a_ev, qg_ev, gamma_m))
 
 
 @jax.jit
@@ -174,16 +171,15 @@ def _j_acc_add(acc, part):
     return F.add(FR, acc, part)
 
 
-def _lookup_h_terms_partial(dom_ext, ws, h_stack, l_stack, qact_ev,
-                            cpow, beta_m):
-    """All FULL logUp helper groups at once. h_stack: (L, NG, n) helper
-    coeffs; l_stack: (L, NG, Gc, n) lookup-column coeffs per group.
+def _lookup_h_terms_partial(ws, h_ev, l_ev, qact_ev, beta_m):
+    """All FULL logUp helper groups at once. h_ev: (L, NG, E) helper
+    cosets; l_ev: (L, NG, Gc, E) lookup-column cosets per group.
     Padding groups (zero stacks) must carry weight 0."""
-    NG, Gc = l_stack.shape[1], l_stack.shape[2]
-    h = _coset(dom_ext, h_stack, cpow)  # (L, NG, E)
+    NG, Gc = l_ev.shape[1], l_ev.shape[2]
+    h = h_ev
     facs = []
     for i in range(Gc):
-        li = _coset(dom_ext, l_stack[:, :, i], cpow)
+        li = l_ev[:, :, i]
         facs.append(F.add(FR, li,
                           jnp.broadcast_to(beta_m[:, None, None], li.shape)))
     prod = facs[0]
@@ -204,24 +200,23 @@ def _lookup_h_terms_partial(dom_ext, ws, h_stack, l_stack, qact_ev,
     return _wsum(ws, term)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_lookup_h_terms_batch(dom_ext, acc, ws, h_stack, l_stack, qact_ev,
-                            cpow, beta_m):
+@functools.partial(jax.jit, donate_argnums=0)
+def _j_lookup_h_terms_batch(acc, ws, h_ev, l_ev, qact_ev, beta_m):
     return F.add(FR, acc, _lookup_h_terms_partial(
-        dom_ext, ws, h_stack, l_stack, qact_ev, cpow, beta_m))
+        ws, h_ev, l_ev, qact_ev, beta_m))
 
 
-def _perm_chunks_partial(dom_ext, ws, z_stack, v_stack, sig_stack, dpows,
-                         qact_ev, cpow, xcoset, beta_m, gamma_m):
-    """J FULL permutation chunks -> (L, E) weighted sum. z_stack:
-    (L, J, n); v_stack/sig_stack: (L, J, CH, n); dpows: (L, J, CH).
+def _perm_chunks_partial(ws, z_ev, v_ev, sig_ev, dpows, qact_ev, xcoset,
+                         beta_m, gamma_m):
+    """J FULL permutation chunks -> (L, E) weighted sum. z_ev:
+    (L, J, E); v_ev/sig_ev: (L, J, CH, E); dpows: (L, J, CH).
     Padded chunks (all-zero stacks) must carry weight 0."""
-    J, CH = v_stack.shape[1], v_stack.shape[2]
-    z = _coset(dom_ext, z_stack, cpow)  # (L, J, E)
+    J, CH = v_ev.shape[1], v_ev.shape[2]
+    z = z_ev
     lhs, rhs = _roll(z, 1), z
     for i in range(CH):
-        v = _coset(dom_ext, v_stack[:, :, i], cpow)
-        sig = _coset(dom_ext, sig_stack[:, :, i], cpow)
+        v = v_ev[:, :, i]
+        sig = sig_ev[:, :, i]
         bb = jnp.broadcast_to(beta_m[:, None, None], v.shape)
         gg = jnp.broadcast_to(gamma_m[:, None, None], v.shape)
         lhs = F.mont_mul(FR, lhs, F.add(
@@ -237,32 +232,27 @@ def _perm_chunks_partial(dom_ext, ws, z_stack, v_stack, sig_stack, dpows,
     return _wsum(ws, term)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-def _j_perm_chunks_batch(dom_ext, acc, ws, z_stack, v_stack, sig_stack,
-                         dpows, qact_ev, cpow, xcoset, beta_m, gamma_m):
+@functools.partial(jax.jit, donate_argnums=0)
+def _j_perm_chunks_batch(acc, ws, z_ev, v_ev, sig_ev, dpows, qact_ev,
+                         xcoset, beta_m, gamma_m):
     return F.add(FR, acc, _perm_chunks_partial(
-        dom_ext, ws, z_stack, v_stack, sig_stack, dpows, qact_ev, cpow,
-        xcoset, beta_m, gamma_m))
+        ws, z_ev, v_ev, sig_ev, dpows, qact_ev, xcoset, beta_m, gamma_m))
 
 
-def _perm_chains_partial(dom_ext, u, ws, zj_stack, zprev_stack,
-                         qfirst_ev, cpow):
+def _perm_chains_partial(u, ws, zj_ev, zprev_ev, qfirst_ev):
     """Chain terms for a batch of consecutive z polys. Padding rows must
     carry weight 0."""
-    zj = _coset(dom_ext, zj_stack, cpow)
-    zprev_u = jnp.roll(_coset(dom_ext, zprev_stack, cpow),
-                       -EXT_FACTOR * u, axis=-1)
+    zprev_u = jnp.roll(zprev_ev, -EXT_FACTOR * u, axis=-1)
     term = F.mont_mul(
-        FR, jnp.broadcast_to(qfirst_ev[:, None, :], zj.shape),
-        F.sub(FR, zj, zprev_u))
+        FR, jnp.broadcast_to(qfirst_ev[:, None, :], zj_ev.shape),
+        F.sub(FR, zj_ev, zprev_u))
     return _wsum(ws, term)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=2)
-def _j_perm_chains_batch(dom_ext, u, acc, ws, zj_stack, zprev_stack,
-                         qfirst_ev, cpow):
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+def _j_perm_chains_batch(u, acc, ws, zj_ev, zprev_ev, qfirst_ev):
     return F.add(FR, acc, _perm_chains_partial(
-        dom_ext, u, ws, zj_stack, zprev_stack, qfirst_ev, cpow))
+        u, ws, zj_ev, zprev_ev, qfirst_ev))
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
@@ -551,6 +541,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     inst_ints = F.decode(FR, instance)
     for v in inst_ints:
         tr.common_scalar(v)
+    _timer.mark("witgen0")
 
     scatter_idx = tuple(
         jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
@@ -601,15 +592,16 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         inputs, jnp.asarray(F.encode(FR, [gamma]))[:, 0])
     # instance cells must be challenge-independent (they are absorbed into
     # the transcript before gamma)
-    assert np.array_equal(np.asarray(instance), np.asarray(instance1)), \
+    assert bool(jnp.array_equal(instance, instance1)), \
         "instance values depend on the challenge"
     # ... and so must every phase-0 ADVICE cell: the phase-0 commitment
     # was produced from run 1's values, while evaluations use run 2's —
     # any gamma-dependence here would silently yield an invalid proof
-    # (VERDICT round-1 weak #7).
-    assert np.array_equal(np.asarray(values0[CTX_P0]),
-                          np.asarray(values1[CTX_P0])), \
+    # (VERDICT round-1 weak #7). Device-side compare: the host transfer
+    # of both trace buffers cost ~220MB per proof.
+    assert bool(jnp.array_equal(values0[CTX_P0], values1[CTX_P0])), \
         "phase-0 advice values depend on the challenge"
+    _timer.mark("witgen1")
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
                                 scatter_idx, blind)
     commits_p1 = commit_evals(adv[:, p0:])
@@ -699,6 +691,8 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
         jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
     )
+    jax.block_until_ready(z_lag)
+    _timer.mark("perm_z")
     del perm_vals  # large Lagrange buffer no longer needed
     if not debug:
         del adv  # kept only for the debug on-domain term check below
@@ -752,11 +746,45 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     gamma_m = _enc_mont_scalar(gamma)
     acc = jnp.zeros((L, ext_n), dtype=jnp.uint32)
 
-    # shared fixed cosets, computed ONCE (the round-1 loop re-NTT'd q_act
-    # for every lookup/permutation term)
-    qact_ev = _j_coset(dom_ext, fco("q_act"), cpow)
-
     zero_col = jnp.zeros((L, n), dtype=jnp.uint32)
+    zero_ev = jnp.zeros((L, ext_n), dtype=jnp.uint32)
+
+    # ---- coset cache: every polynomial's 8n-coset evaluation computed
+    # exactly ONCE per prove (batched 8 columns per NTT launch). The
+    # inline-coset kernels redid ~900 column NTTs (advice twice — gate
+    # terms then permutation chunks — sigma every prove): 14 s of the
+    # measured quotient stage. Cost: ~5 MB x #polys device residency,
+    # freed right after the quotient accumulation.
+    cos_cache = {}
+    # residency budget: one entry is L*ext_n*4 bytes (5.2 MB at k=13);
+    # past the cap, cosets are computed but not retained (k>=15 would
+    # otherwise hold ~15 GB of cosets)
+    cos_budget = int(os.environ.get("ZKFHE_COSET_CACHE_MB", "6000")) \
+        * (1 << 20) // (L * ext_n * 4)
+
+    def fq(nm):
+        return f"fixed{fidx[nm]}"
+
+    def coset_of(names):
+        missing = [nm for nm in names if nm not in cos_cache]
+        out = {}
+        for s2 in range(0, len(missing), 8):
+            grp2 = missing[s2:s2 + 8]
+            stack = jnp.stack([polys[nm] for nm in grp2]
+                              + [zero_col] * (8 - len(grp2)), axis=1)
+            ev = _j_coset(dom_ext, stack, cpow)
+            for i2, nm in enumerate(grp2):
+                out[nm] = ev[:, i2]
+                if len(cos_cache) < cos_budget:
+                    cos_cache[nm] = out[nm]
+        return [cos_cache.get(nm) if cos_cache.get(nm) is not None
+                else out[nm] for nm in names]
+
+    def ev_stack(names, width):
+        evs = coset_of(names)
+        return jnp.stack(evs + [zero_ev] * (width - len(names)), axis=1)
+
+    qact_ev = coset_of([fq("q_act")])[0]
 
     def enc_ws(tis, width):
         vals = [y_w[ti] for ti in tis] + [0] * (width - len(tis))
@@ -793,27 +821,22 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     for s in range(0, len(by_kind.get("gate", [])), GATE_BATCH):
         grp = by_kind["gate"][s:s + GATE_BATCH]
-        npad = GATE_BATCH - len(grp)
-        a_stack = jnp.stack([polys[f"adv{arg}"] for _, arg in grp]
-                            + [zero_col] * npad, axis=1)
-        sel_stack = jnp.stack([fco(f"sel_{arg}") for _, arg in grp]
-                              + [zero_col] * npad, axis=1)
+        a_ev = ev_stack([f"adv{arg}" for _, arg in grp], GATE_BATCH)
+        sel_ev = ev_stack([fq(f"sel_{arg}") for _, arg in grp], GATE_BATCH)
         acc = batched_acc(
-            acc, _j_gate_terms_batch, _gate_terms_partial, (dom_ext,),
+            acc, _j_gate_terms_batch, _gate_terms_partial, (),
             enc_ws([ti for ti, _ in grp], GATE_BATCH),
-            [a_stack, sel_stack], [cpow])
+            [a_ev, sel_ev], [])
 
     for s in range(0, len(by_kind.get("challenge", [])), GATE_BATCH):
         grp = by_kind["challenge"][s:s + GATE_BATCH]
-        npad = GATE_BATCH - len(grp)
-        a_stack = jnp.stack([polys[f"adv{arg}"] for _, arg in grp]
-                            + [zero_col] * npad, axis=1)
-        qg_stack = jnp.stack([fco(f"qgamma_{arg}") for _, arg in grp]
-                             + [zero_col] * npad, axis=1)
+        a_ev = ev_stack([f"adv{arg}" for _, arg in grp], GATE_BATCH)
+        qg_ev = ev_stack([fq(f"qgamma_{arg}") for _, arg in grp],
+                         GATE_BATCH)
         acc = batched_acc(
-            acc, _j_chal_terms_batch, _chal_terms_partial, (dom_ext,),
+            acc, _j_chal_terms_batch, _chal_terms_partial, (),
             enc_ws([ti for ti, _ in grp], GATE_BATCH),
-            [a_stack, qg_stack], [cpow, gamma_m])
+            [a_ev, qg_ev], [gamma_m])
 
     # ---- logUp helper terms: all FULL groups in one dispatch --------------
     lk_full, lk_ragged = [], []
@@ -823,17 +846,17 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             (ti, g, cols))
     if lk_full:
         ngpad = -(-len(lk_full) // nd) * nd - len(lk_full)
-        h_stack = jnp.stack([polys[f"lookup_h{g}"] for _, g, _ in lk_full]
-                            + [zero_col] * ngpad, axis=1)
-        zero_grp = jnp.zeros((L, LOOKUP_GROUP, n), dtype=jnp.uint32)
-        l_stack = jnp.stack(
-            [jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
+        h_ev = ev_stack([f"lookup_h{g}" for _, g, _ in lk_full],
+                        len(lk_full) + ngpad)
+        zero_grp = jnp.zeros((L, LOOKUP_GROUP, ext_n), dtype=jnp.uint32)
+        l_ev = jnp.stack(
+            [jnp.stack(coset_of([f"adv{lk_base + i}" for i in cols]),
+                       axis=1)
              for _, _, cols in lk_full] + [zero_grp] * ngpad, axis=1)
         acc = batched_acc(
-            acc, _j_lookup_h_terms_batch, _lookup_h_terms_partial,
-            (dom_ext,),
+            acc, _j_lookup_h_terms_batch, _lookup_h_terms_partial, (),
             enc_ws([ti for ti, _, _ in lk_full], len(lk_full) + ngpad),
-            [h_stack, l_stack], [qact_ev, cpow, beta_lm])
+            [h_ev, l_ev], [qact_ev, beta_lm])
     for ti, g, cols in lk_ragged:
         lstack = jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
         acc = _j_lookup_h_term(dom_ext, acc, _enc_mont_scalar(y_w[ti]),
@@ -841,65 +864,61 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
                                cpow, beta_lm)
 
     # ---- permutation chunk terms: FULL chunks in batches of PERMJ ---------
-    def perm_col(i):
+    def perm_col_name(i):
         if i < asm.num_advice:
-            return polys[f"adv{i}"]
+            return f"adv{i}"
         if i == asm.num_advice:
-            return fco("const")
-        return polys["instance"]
+            return fq("const")
+        return "instance"
 
     pc_full = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
                if min((j + 1) * PERM_CHUNK, P) - j * PERM_CHUNK == PERM_CHUNK]
     pc_ragged = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
                  if (ti, j) not in pc_full]
+    zero_grp_p = jnp.zeros((L, PERM_CHUNK, ext_n), dtype=jnp.uint32)
     for s in range(0, len(pc_full), PERMJ):
         grp = pc_full[s:s + PERMJ]
         npad = PERMJ - len(grp)
-        zpad = [zero_col] * npad
 
-        def chunk_stack(fn):
-            rows = [jnp.stack([fn(i) for i in range(j * PERM_CHUNK,
-                                                    (j + 1) * PERM_CHUNK)],
-                              axis=1) for _, j in grp]
-            rows += [jnp.stack([zero_col] * PERM_CHUNK, axis=1)] * npad
-            return jnp.stack(rows, axis=1)
+        def chunk_ev(name_fn):
+            rows = [jnp.stack(
+                coset_of([name_fn(i) for i in range(j * PERM_CHUNK,
+                                                    (j + 1) * PERM_CHUNK)]),
+                axis=1) for _, j in grp]
+            return jnp.stack(rows + [zero_grp_p] * npad, axis=1)
 
-        z_stack = jnp.stack([polys[f"perm_z{j}"] for _, j in grp] + zpad,
-                            axis=1)
-        v_stack = chunk_stack(perm_col)
-        sig_stack = chunk_stack(lambda i: polys[f"sigma{i}"])
+        z_ev = ev_stack([f"perm_z{j}" for _, j in grp], PERMJ)
+        v_ev = chunk_ev(perm_col_name)
+        sig_ev = chunk_ev(lambda i: f"sigma{i}")
         dp_rows = [dpow[:, j * PERM_CHUNK:(j + 1) * PERM_CHUNK]
                    for _, j in grp]
         dp_rows += [jnp.zeros((L, PERM_CHUNK), dtype=jnp.uint32)] * npad
         dpows = jnp.stack(dp_rows, axis=1)
         acc = batched_acc(
-            acc, _j_perm_chunks_batch, _perm_chunks_partial, (dom_ext,),
+            acc, _j_perm_chunks_batch, _perm_chunks_partial, (),
             enc_ws([ti for ti, _ in grp], PERMJ),
-            [z_stack, v_stack, sig_stack, dpows],
-            [qact_ev, cpow, xcoset, beta_pm, gamma_pm])
+            [z_ev, v_ev, sig_ev, dpows],
+            [qact_ev, xcoset, beta_pm, gamma_pm])
     for ti, j in pc_ragged:
         idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
         acc = _j_perm_chunk_term(
             dom_ext, acc, _enc_mont_scalar(y_w[ti]), polys[f"perm_z{j}"],
-            jnp.stack([perm_col(i) for i in idxs], axis=1),
+            jnp.stack([polys[perm_col_name(i)] for i in idxs], axis=1),
             jnp.stack([polys[f"sigma{i}"] for i in idxs], axis=1),
             fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
             beta_pm, gamma_pm)
 
     # ---- chain terms in batches -------------------------------------------
-    qfirst_ev = _j_coset(dom_ext, fco("q_first"), cpow)
+    qfirst_ev = coset_of([fq("q_first")])[0]
     chains = by_kind.get("perm_chain", [])
     for s in range(0, len(chains), GATE_BATCH):
         grp = chains[s:s + GATE_BATCH]
-        npad = GATE_BATCH - len(grp)
-        zj_stack = jnp.stack([polys[f"perm_z{j}"] for _, j in grp]
-                             + [zero_col] * npad, axis=1)
-        zp_stack = jnp.stack([polys[f"perm_z{j - 1}"] for _, j in grp]
-                             + [zero_col] * npad, axis=1)
+        zj_ev = ev_stack([f"perm_z{j}" for _, j in grp], GATE_BATCH)
+        zp_ev = ev_stack([f"perm_z{j - 1}" for _, j in grp], GATE_BATCH)
         acc = batched_acc(
-            acc, _j_perm_chains_batch, _perm_chains_partial, (dom_ext, u),
+            acc, _j_perm_chains_batch, _perm_chains_partial, (u,),
             enc_ws([ti for ti, _ in grp], GATE_BATCH),
-            [zj_stack, zp_stack], [qfirst_ev, cpow])
+            [zj_ev, zp_ev], [qfirst_ev])
 
     # ---- singleton terms ---------------------------------------------------
     for ti, (kind, arg) in enumerate(terms):
@@ -931,6 +950,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         else:
             raise AssertionError(kind)
 
+    cos_cache.clear()  # free ~5 MB x #polys of coset residency
+    jax.block_until_ready(acc)
+    _timer.mark("quot_terms")
     zh_cycle = []
     gn = pow(coset_gen, n, FR.p)
     for j in range(EXT_FACTOR):

@@ -329,9 +329,15 @@ def tab_tier_bits(max_bits: int) -> int:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _j_build_table(PX, PY, W, c):
-    """(L, n) affine Montgomery bases -> (L, W, M, n) X/Y affine tables
-    of m * 2^(c*w) * P_i. Scan over windows: emit the affine multiples,
-    then shift by c doublings for the next window."""
+    """(L, n) affine Montgomery bases -> (n*W*M, 2L) interleaved table
+    of m * 2^(c*w) * P_i, point-major: row (i*W + w)*M + (m-1) holds
+    [X limbs || Y limbs]. Point-major + limb-minor so (a) one gathered
+    row is 2L*4 = 160 contiguous bytes — TPU gathers at 4-byte
+    granularity were the measured bottleneck of full-width commits —
+    and (b) a mesh shards the table by contiguous point blocks along
+    axis 0. Scan over windows: emit the affine multiples, then shift by
+    c doublings for the next window."""
+    L_, n = PX.shape
     one = F.const(FQ, FQ.to_mont_int(1), PX.shape[1:])
     base = (PX, PY, jnp.broadcast_to(jnp.asarray(one), PX.shape))
 
@@ -350,28 +356,20 @@ def _j_build_table(PX, PY, W, c):
         nxt = (X, Y, Z)
         for _ in range(c):
             nxt = C.point_double(nxt)
-        return nxt, (aX, aY)
+        return nxt, jnp.concatenate([aX, aY], axis=0)  # (2L, M, n)
 
-    _, (tX, tY) = jax.lax.scan(step, base, None, length=W)
-    # (W, L, M, n) -> (L, W, M, n)
-    return jnp.moveaxis(tX, 0, 1), jnp.moveaxis(tY, 0, 1)
+    _, t = jax.lax.scan(step, base, None, length=W)  # (W, 2L, M, n)
+    return jnp.transpose(t, (3, 0, 2, 1)).reshape(n * W * TAB_M, 2 * L_)
 
 
 @dataclasses.dataclass
 class PointTable:
     """Precomputed shifted-multiple tables for one fixed base set."""
 
-    X: jnp.ndarray  # (L, W, M, n)
-    Y: jnp.ndarray
+    XY: jnp.ndarray  # (n*W*M, 2L) interleaved, point-major
+    n: int
+    windows: int
     c: int = TAB_C
-
-    @property
-    def n(self):
-        return self.X.shape[3]
-
-    @property
-    def windows(self):
-        return self.X.shape[1]
 
 
 def build_table(points, max_bits: int = 256, c: int = TAB_C) -> PointTable:
@@ -379,17 +377,18 @@ def build_table(points, max_bits: int = 256, c: int = TAB_C) -> PointTable:
     scalars < 2^max_bits."""
     PX, PY = points
     W = num_windows(c, max_bits)
-    tX, tY = _j_build_table(PX, PY, W, c)
-    return PointTable(X=tX, Y=tY, c=c)
+    t = _j_build_table(PX, PY, W, c)
+    return PointTable(XY=t, n=PX.shape[1], windows=W, c=c)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _j_msm_tab(tabX, tabY, scalars, c, max_bits, row_offset):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset):
     """Gather + tree-reduce MSM against a PointTable.
 
     scalars: (L, K, rows) standard-form limbs; logical point i for column
     entry j is row_offset + j. Returns Jacobian (L, K)."""
-    L_, W_full, M, n = tabX.shape
+    L_ = scalars.shape[0]
+    M = TAB_M
     K, rows = scalars.shape[1], scalars.shape[2]
     W = num_windows(c, max_bits)
     assert W <= W_full, (W, W_full)
@@ -402,10 +401,11 @@ def _j_msm_tab(tabX, tabY, scalars, c, max_bits, row_offset):
     m_idx = jnp.maximum(mag - 1, 0)
     w_idx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
     i_idx = jnp.arange(rows, dtype=jnp.int32)[None, None, :] + row_offset
-    flat = (w_idx * (M * n) + m_idx * n + i_idx).reshape(-1)
+    flat = ((i_idx * W_full + w_idx) * M + m_idx).reshape(-1)
 
-    gx = jnp.take(tabX.reshape(L_, -1), flat, axis=1).reshape(L_, K, W * rows)
-    gy = jnp.take(tabY.reshape(L_, -1), flat, axis=1).reshape(L_, K, W * rows)
+    g = jnp.take(tabXY, flat, axis=0)  # (K*W*rows, 2L) 160B/row
+    g = jnp.transpose(g.reshape(K, W * rows, 2 * L_), (2, 0, 1))
+    gx, gy = g[:L_], g[L_:]
     gy = F.select(neg, F.sub(FQ, F.zero((K, W * rows)), gy), gy)
     one_m = F.const(FQ, FQ.to_mont_int(1), (K, W * rows))
     gz = F.select(live, jnp.asarray(one_m), F.zero((K, W * rows)))
@@ -413,27 +413,33 @@ def _j_msm_tab(tabX, tabY, scalars, c, max_bits, row_offset):
         C.tree_reduce_points_halves((gx, gy, gz), first_mixed=True), axis=0)
 
 
+def msm_tab_stacked(table: PointTable, scalars, max_bits: int = 256,
+                    row_offset: int = 0):
+    """Async form of msm_tab: returns the stacked (3, L, K) Jacobian
+    DEVICE array without slicing or synchronizing, so callers can batch
+    many MSMs and pay ONE host transfer for all of them (each device->
+    host round trip costs ~hundreds of ms over the remote-TPU tunnel —
+    the per-batch decode was 6x the MSM compute itself)."""
+    mb = tab_tier_bits(max_bits)
+    out = _j_msm_tab(table.XY, scalars, table.c, table.windows, mb,
+                     row_offset)
+    if os.environ.get("ZKFHE_PROBE"):  # debug
+        try:
+            jax.block_until_ready(out)
+        except Exception as e:
+            print(f"[probe msm_tab] EXEC FAILED {type(e).__name__} "
+                  f"scalars={scalars.shape} mb={mb} off={row_offset}",
+                  flush=True)
+            raise
+    return out
+
+
 def msm_tab(table: PointTable, scalars, max_bits: int = 256,
             row_offset: int = 0):
     """MSM of (L, K, rows) standard-form scalars against table points
     [row_offset, row_offset+rows). Returns Jacobian (X, Y, Z) each (L, K).
     max_bits is quantized to TAB_TIERS (bounds the compiled-shape set)."""
-    mb = tab_tier_bits(max_bits)
-    if os.environ.get("ZKFHE_PROBE"):  # debug
-        print(f"[probe msm_tab] scalars={scalars.shape} mb={mb} "
-              f"off={row_offset}", flush=True)
-        jax.block_until_ready(scalars)
-        print("[probe msm_tab] scalars synced", flush=True)
-        out = _j_msm_tab(table.X, table.Y, scalars, table.c, mb, row_offset)
-        try:
-            jax.block_until_ready(out)
-            print("[probe msm_tab] result synced OK", flush=True)
-        except Exception as e:
-            print(f"[probe msm_tab] EXEC FAILED {type(e).__name__}",
-                  flush=True)
-            raise
-        return out[0], out[1], out[2]
-    out = _j_msm_tab(table.X, table.Y, scalars, table.c, mb, row_offset)
+    out = msm_tab_stacked(table, scalars, max_bits, row_offset)
     return out[0], out[1], out[2]
 
 

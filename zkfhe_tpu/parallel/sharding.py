@@ -117,36 +117,35 @@ def sharded_msm_tab(table, scalars, mesh: Mesh, axis: str = "chips",
     """
     from ..ops.msm import tab_tier_bits
     nd = mesh.shape[axis]
-    n = table.X.shape[3]
+    n = table.n
     assert scalars.shape[2] == n and n % nd == 0, (scalars.shape, n, nd)
     mb = tab_tier_bits(max_bits)
-    fn = _msm_tab_fn(mesh, axis, table.c, mb, nd)
-    tab_spec = P(None, None, None, None, axis)
-    tx = _normalize(table.X[None], mesh, tab_spec)
-    ty = _normalize(table.Y[None], mesh, tab_spec)
+    fn = _msm_tab_fn(mesh, axis, table.c, table.windows, mb, nd)
+    # table rows are point-major, so sharding axis 0 gives each chip a
+    # contiguous block of points' shifted multiples
+    txy = _normalize(table.XY[None], mesh, P(None, axis, None))
     sc = _normalize(scalars[None], mesh, P(None, None, None, axis))
     # pull the replicated result to host numpy BEFORE any slicing: eager
     # device ops on multi-device arrays have aborted XLA:CPU here, and
     # every consumer (decode_points) is host-side anyway
-    out = np.asarray(fn(tx, ty, sc))
+    out = np.asarray(fn(txy, sc))
     return tuple(out[0, i] for i in range(3))
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_tab_fn(mesh: Mesh, axis: str, c: int, mb: int, nd: int):
+def _msm_tab_fn(mesh: Mesh, axis: str, c: int, W_full: int, mb: int,
+                nd: int):
     """Cached jitted shard_map for sharded_msm_tab (a fresh closure per
     call would recompile on every commit)."""
     from ..ops.msm import _j_msm_tab
 
-    def local(tx, ty, sc):
-        part = _j_msm_tab(tx[0], ty[0], sc[0], c, mb, 0)
+    def local(txy, sc):
+        part = _j_msm_tab(txy[0], sc[0], c, W_full, mb, 0)
         return _gather_combine_points(part, axis, nd)[None]
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None, None, None, axis),
-                  P(None, None, None, None, axis),
-                  P(None, None, None, axis)),
+        in_specs=(P(None, axis, None), P(None, None, None, axis)),
         out_specs=P(None),
         check_vma=False,
     ))
