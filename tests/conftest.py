@@ -17,12 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NO persistent compilation cache in tests: serializing the large MSM /
-# quotient executables for the cache segfaults nondeterministically in
-# long-lived CPU test processes (zstd/AOT-serialize crashes observed
-# 2026-08-17 in both put_ and get_executable_and_time). The cache saved
-# ~2 min on the fast tier — not worth flaky hard crashes. Opt back in
-# locally with ZKFHE_TEST_CACHE=1.
-if os.environ.get("ZKFHE_TEST_CACHE"):
+# Persistent compilation cache: needs vm.max_map_count raised (LLVM's
+# JIT exhausts the 65530 default in compile-heavy test processes —
+# crashes surfaced inside cache serialize/deserialize AND plain
+# backend_compile; scripts/run_tests.sh raises it). With the limit
+# raised, heavy cached runs are stable (validated 2026-08-18). Opt out
+# with ZKFHE_TEST_NO_CACHE=1 if cache corruption is ever suspected.
+if not os.environ.get("ZKFHE_TEST_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/zkfhe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
