@@ -1,33 +1,100 @@
 #!/usr/bin/env python
-"""Round benchmark: one JSON line on stdout.
+"""Round benchmark: one JSON line on stdout, ALWAYS.
 
 Headline metric (BASELINE.md): BFV encryption proof time at k=13,
 N=1024, Q=2^29-3 — reference: 10.2 s on an Apple M2 (single proof,
 keygen excluded). vs_baseline = baseline_seconds / measured_seconds
 (>1 means faster than the reference).
 
-Falls back to the MSM throughput metric if the full pipeline fails, so
-the driver always records a data point. All progress goes to stderr;
-stdout carries exactly one JSON line.
+Failure containment (VERDICT round-2 weak #1 — the round-2 bench died
+inside jax.devices() before any watchdog armed and recorded nothing):
+
+  * the SIGALRM watchdog is armed BEFORE the first device-touching call
+    and re-armed with a per-stage budget around every stage; on fire it
+    emits the best partial JSON collected so far and exits;
+  * backend-init failure falls back to CPU and still measures a
+    (reduced-k) proof, clearly labeled, vs_baseline 0.0;
+  * a top-level except emits a parseable failure JSON for anything else.
+
+All progress goes to stderr; stdout carries exactly one JSON line.
 """
 import json
 import os
+import signal
 import sys
 import time
 import traceback
+
+BASELINE_S = 10.2
+
+# best-known results, emitted by the watchdog/exception paths if the
+# process cannot finish normally
+STATE = {"emitted": False}
 
 
 def log(*a):
     print("[bench]", *a, file=sys.stderr, flush=True)
 
 
+def emit(obj):
+    if STATE.get("emitted"):
+        return
+    STATE["emitted"] = True
+    print(json.dumps(obj), flush=True)
+
+
+def emit_best(reason: str):
+    """Emit the most useful JSON we can from partial results."""
+    if "prove_s" in STATE:
+        prove_s = STATE["prove_s"]
+        emit({
+            "metric": f"bfv_proof_time_{STATE.get('suffix', 'k?')}",
+            "value": round(prove_s, 4),
+            "unit": "s",
+            "vs_baseline": (round(BASELINE_S / prove_s, 3)
+                            if not STATE.get("cpu_fallback") else 0.0),
+            "partial": reason,
+            **STATE.get("extras", {}),
+        })
+    else:
+        emit({"metric": f"bench_failed_{reason}", "value": 0, "unit": "",
+              "vs_baseline": 0.0, "stage": STATE.get("stage", "init")})
+
+
+def _on_alarm(signum, frame):
+    log(f"WATCHDOG fired in stage '{STATE.get('stage')}'")
+    emit_best("timeout_" + str(STATE.get("stage", "init")))
+    os._exit(2)
+
+
+def stage(name: str, budget_s: int):
+    """Mark the current stage and (re-)arm the watchdog for it."""
+    STATE["stage"] = name
+    signal.alarm(budget_s)
+    log(f"stage {name} (budget {budget_s}s)")
+
+
+def _rand_narrow_scalars(np, F, K, n, bits=32, seed=0):
+    """(L, K, n) standard-form scalars < 2^bits — the benchmarked MSM is
+    then also a CORRECT one under its max_bits contract (ADVICE.md r2:
+    full-width random limbs silently violated the tier bound)."""
+    rs = np.random.RandomState(seed)
+    sc = np.zeros((F.NLIMBS, K, n), dtype=np.uint32)
+    full, rem = divmod(bits, F.LIMB_BITS)
+    for li in range(full):
+        sc[li] = rs.randint(0, 1 << F.LIMB_BITS, size=(K, n))
+    if rem:
+        sc[full] = rs.randint(0, 1 << rem, size=(K, n))
+    return sc
+
+
 def _kernel_metrics(k, log):
     """The BASELINE.json metric: MSM pts/s/chip and NTT butterflies/s,
     measured on the REAL hot kernels (fixed-base table MSM commit, coset
     NTT) at the bench shapes, warm."""
-    import time
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from zkfhe_tpu.backend import srs as SRS
     from zkfhe_tpu.ops import field as F
     from zkfhe_tpu.ops import msm as M
@@ -39,9 +106,7 @@ def _kernel_metrics(k, log):
     if srs.g1_lag is not None:
         tab = M.build_table((srs.g1_lag[0][:, :n], srs.g1_lag[1][:, :n]))
         K = 8
-        sc = jnp.asarray(
-            __import__("numpy").random.RandomState(0).randint(
-                0, 1 << 13, size=(F.NLIMBS, K, n)).astype("uint32"))
+        sc = jnp.asarray(_rand_narrow_scalars(np, F, K, n, bits=32))
         jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
         t0 = time.time()
         jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
@@ -50,9 +115,7 @@ def _kernel_metrics(k, log):
         log(f"table MSM (32-bit tier, K={K}, n={n}): {K*n/dt:.0f} pts/s")
     dom = N.Domain.new(k + 3)
     K = 8
-    a = jnp.asarray(
-        __import__("numpy").random.RandomState(1).randint(
-            0, 1 << 13, size=(F.NLIMBS, K, dom.n)).astype("uint32"))
+    a = jnp.asarray(_rand_narrow_scalars(np, F, K, dom.n, bits=13, seed=1))
     ntt_j = jax.jit(N.ntt, static_argnums=0)
     jax.block_until_ready(ntt_j(dom, a))
     t0 = time.time()
@@ -64,9 +127,25 @@ def _kernel_metrics(k, log):
     return out
 
 
-def main():
+def _main():
     os.environ.setdefault("ZKFHE_BENCH", "1")
+    signal.signal(signal.SIGALRM, _on_alarm)
+
+    # ---- backend init (the exact line that killed BENCH_r02) -------------
+    stage("backend_init", 240)
     import jax
+    cpu_fallback = False
+    try:
+        devs = jax.devices()
+        log("devices:", devs)
+    except Exception:
+        log("backend init failed, falling back to CPU:\n"
+            + traceback.format_exc())
+        jax.config.update("jax_platforms", "cpu")
+        devs = jax.devices()
+        log("cpu devices:", devs)
+        cpu_fallback = True
+
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/zkfhe_jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -82,30 +161,28 @@ def main():
     from zkfhe_tpu.backend import srs as SRS
     from zkfhe_tpu.backend import verifier as VF
 
-    log("devices:", jax.devices())
-
-    # Wedged-worker watchdog: the axon TPU worker can get into a state
-    # where every dispatch hangs forever (observed after back-to-back
-    # heavy sessions). Probe with a trivial op under an alarm so the
-    # driver gets a failure JSON instead of an indefinite hang.
-    import signal
-
-    def _probe_timeout(signum, frame):
-        print(json.dumps({"metric": "bench_failed_tpu_wedged", "value": 0,
-                          "unit": "", "vs_baseline": 0.0}), flush=True)
-        os._exit(2)
-
-    signal.signal(signal.SIGALRM, _probe_timeout)
-    signal.alarm(180)
+    # Wedged-worker probe: the axon TPU worker can get into a state where
+    # every dispatch hangs forever (observed after back-to-back heavy
+    # sessions); a trivial op under the watchdog catches it up front.
+    stage("device_probe", 180)
     np.asarray(jnp.arange(4) + 1)
-    signal.alarm(0)
     log("device probe OK")
 
-    k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
-    n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
-    baseline_s = 10.2
+    if cpu_fallback:
+        # a reduced-k CPU proof still demonstrates the full pipeline and
+        # leaves a labeled data point instead of rc=1 and nothing
+        k = int(os.environ.get("ZKFHE_BENCH_CPU_K", "10"))
+        n = int(os.environ.get("ZKFHE_BENCH_CPU_N", "64"))
+        suffix = f"k{k}_cpu_fallback"
+    else:
+        k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
+        n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
+        suffix = f"k{k}"
+    STATE["suffix"] = suffix
+    STATE["cpu_fallback"] = cpu_fallback
 
     try:
+        stage("inputs", 600)
         params = bfv.BfvParams(n=n)
         t0 = time.time()
         cin_path = os.path.join("data", "bfv", "bfv.in")
@@ -117,10 +194,12 @@ def main():
         circuit = bfv.make_bfv_circuit(params)
         log(f"inputs ready ({time.time()-t0:.1f}s)")
 
+        stage("srs", 600)
         t0 = time.time()
         srs = SRS.load_or_generate(k, "params")
         log(f"srs ready ({time.time()-t0:.1f}s)")
 
+        stage("keygen", 2400)
         t0 = time.time()
         vk_path = os.path.join("data", f"bench_k{k}_n{n}.vk.npz")
         pk_path = os.path.join("data", f"bench_k{k}_n{n}.pk.npz")
@@ -137,18 +216,26 @@ def main():
             f"perm={pk.vk.shape['num_perm_cols']}")
 
         # warm-up proof compiles everything; second proof is the measure
+        stage("warmup_prove", 2700)
         t0 = time.time()
         proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"warmup")
         log(f"warmup prove done ({time.time()-t0:.1f}s), "
             f"{len(proof)} bytes")
 
+        stage("bench_prove", 1500)
         t0 = time.time()
         proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
         prove_s = time.time() - t0
         log(f"bench prove: {prove_s:.3f}s")
         stages = dict(PV.LAST_STAGES)
         log(f"stages: {stages}")
+        STATE["prove_s"] = prove_s
+        STATE["extras"] = {
+            "proof_bytes": len(proof),
+            "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
+        }
 
+        stage("verify", 1200)
         gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
         _, instance = TC.make_witgen(circuit)(inputs, gamma0)
         inst = F.decode(F.FR, instance)
@@ -160,59 +247,68 @@ def main():
         verify_s = time.time() - t0
         log(f"verify: {ok} (cold {verify_cold_s:.3f}s, warm {verify_s:.3f}s)")
         assert ok and ok2, "proof did not verify"
+        STATE["extras"]["verify_s"] = round(verify_s, 4)
+        STATE["extras"]["verify_cold_s"] = round(verify_cold_s, 4)
 
-        extras = {}
+        stage("kernel_metrics", 900)
         try:
-            extras = _kernel_metrics(k, log)
+            STATE["extras"].update(_kernel_metrics(k, log))
         except Exception:
             log("kernel metrics failed:\n" + traceback.format_exc())
+        signal.alarm(0)
 
-        print(json.dumps({
-            "metric": f"bfv_proof_time_k{k}",
+        emit({
+            "metric": f"bfv_proof_time_{suffix}",
             "value": round(prove_s, 4),
             "unit": "s",
-            "vs_baseline": round(baseline_s / prove_s, 3),
-            "verify_s": round(verify_s, 4),
-            "verify_cold_s": round(verify_cold_s, 4),
-            "proof_bytes": len(proof),
-            "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
-            **extras,
-        }))
+            "vs_baseline": (round(BASELINE_S / prove_s, 3)
+                            if not cpu_fallback else 0.0),
+            **STATE["extras"],
+        })
         return 0
     except Exception:
         log("full pipeline failed:\n" + traceback.format_exc())
 
-    # fallback: MSM throughput (points/s/chip)
+    # fallback: kernel metric only (MSM throughput, pts/s/chip)
     try:
-        from zkfhe_tpu.ops import curve as C
+        stage("msm_fallback", 900)
         from zkfhe_tpu.ops import msm as M
-        import random
-        random.seed(0)
-        npts, K = 8192, 8
-        pts = [C.G1_GEN.mul(random.randrange(1, F.FR.p)) for _ in range(64)]
-        pts = pts * (npts // 64)
-        P_ = C.encode_points(pts)
-        sc = jnp.asarray(np.random.randint(
-            0, 1 << 13, size=(F.NLIMBS, K, npts), dtype=np.uint32))
-        run = jax.jit(lambda s: jnp.stack(M.msm((P_[0], P_[1]), s), 0))
-        run(sc)[0].block_until_ready()
+        from zkfhe_tpu.backend import srs as SRS
+        kk = min(k, 13)
+        nn = 1 << kk
+        srs = SRS.load_or_generate(kk, "params")
+        tab = M.build_table((srs.g1_lag[0][:, :nn], srs.g1_lag[1][:, :nn]))
+        K = 8
+        sc = jnp.asarray(_rand_narrow_scalars(np, F, K, nn, bits=32))
+        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
         t0 = time.time()
-        run(sc)[0].block_until_ready()
+        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
         dt = time.time() - t0
-        rate = npts * K / dt
+        rate = nn * K / dt
+        signal.alarm(0)
         log(f"msm fallback: {rate:.0f} pts/s")
-        print(json.dumps({
+        emit({
             "metric": "msm_points_per_s_per_chip",
             "value": round(rate, 1),
             "unit": "pts/s",
             "vs_baseline": 0.0,
-        }))
+        })
         return 0
     except Exception:
         log("msm fallback failed:\n" + traceback.format_exc())
-        print(json.dumps({
-            "metric": "bench_failed", "value": 0, "unit": "",
-            "vs_baseline": 0.0}))
+        emit({"metric": "bench_failed", "value": 0, "unit": "",
+              "vs_baseline": 0.0})
+        return 1
+
+
+def main():
+    try:
+        return _main()
+    except SystemExit:
+        raise
+    except BaseException:
+        log("fatal:\n" + traceback.format_exc())
+        emit_best("exception_" + str(STATE.get("stage", "init")))
         return 1
 
 

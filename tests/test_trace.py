@@ -127,3 +127,50 @@ def test_challenge_pin_checked():
     wrong = jnp.asarray(F.encode(FR, [12]))[:, 0]
     res = TC.mock_check(layout, values, wrong, verbose=False)
     assert len(res["challenge"]) > 0
+
+
+def test_static_cell_bits_bound_witness():
+    """Every cell's STATIC bit bound (CellVec.bits -> Layout.cell_bits,
+    the witness-independent commitment-tier driver, VERDICT round-2
+    weak #7) must upper-bound the actual witness value, on the full BFV
+    circuit (n=16) with a real challenge."""
+    import numpy as np
+    from zkfhe_tpu.models import bfv
+
+    params = bfv.BfvParams(n=16)
+    cin = bfv.generate_input(params, seed=2)
+    inputs = cin.to_arrays(params)
+    circ = bfv.make_bfv_circuit(params)
+    layout = TC.trace_layout(circ, inputs)
+    gamma = jnp.asarray(F.encode(FR, [987654321]))[:, 0]
+    _, values, _ = TC.run_circuit(circ, inputs, gamma)
+    TC.assert_satisfied(layout, values, gamma)
+    for ctx in range(3):
+        if not values[ctx].shape[1]:
+            continue
+        bits = layout.cell_bits[ctx]
+        dec = F.decode(FR, values[ctx])
+        bad = [(i, v, int(bits[i])) for i, v in enumerate(dec)
+               if v >= (1 << int(bits[i]))]
+        assert not bad, f"ctx {ctx}: {bad[:5]}"
+
+
+def test_assembly_col_bits():
+    """Per-column bounds are the max over the column's cells and drive
+    homogeneous commitment tiers."""
+    import numpy as np
+    from zkfhe_tpu.backend.assembly import assemble
+    from zkfhe_tpu.models import bfv
+
+    params = bfv.BfvParams(n=16)
+    cin = bfv.generate_input(params, seed=2)
+    inputs = cin.to_arrays(params)
+    circ = bfv.make_bfv_circuit(params)
+    layout = TC.trace_layout(circ, inputs)
+    asm = assemble(layout, 10)
+    assert asm.col_bits.shape == (asm.num_advice,)
+    # phase-0 columns hold 29-bit BFV witnesses and <=68-bit hints
+    assert all(0 < b <= 68 for b in asm.col_bits[:asm.num_p0_cols])
+    # lookup columns hold bytes
+    nlk = asm.num_lk_cols
+    assert all(b == 8 for b in asm.col_bits[asm.num_advice - nlk:])

@@ -105,6 +105,11 @@ class Assembly:
 
     terms: list  # ordered TermSpec list
 
+    # per-advice-column STATIC value bound (max of the cells' CellVec.bits;
+    # rows with no cell are zero) — drives the commitment MSM width tiers
+    # without reading witness magnitudes (VERDICT round-2 weak #7)
+    col_bits: np.ndarray = None  # (num_advice,) int16
+
     @property
     def n(self):
         return 1 << self.k
@@ -209,6 +214,12 @@ def assemble(layout: Layout, k: int) -> Assembly:
     num_p0 = len(breaks[CTX_P0])
     num_lk = len(breaks[CTX_LK])
     num_gate_cols = num_advice - num_lk
+
+    # static per-column value bounds from the per-cell bounds
+    col_bits = np.zeros(num_advice, dtype=np.int16)
+    for ctx in (CTX_P0, CTX_P1, CTX_LK):
+        if layout.sizes[ctx]:
+            np.maximum.at(col_bits, cell_col[ctx], layout.cell_bits[ctx])
 
     # selectors at region starts
     sel_rows = {}
@@ -318,6 +329,7 @@ def assemble(layout: Layout, k: int) -> Assembly:
         num_perm_cols=num_perm_cols,
         sigma_col=sigma_col, sigma_row=sigma_row,
         terms=[],
+        col_bits=col_bits,
     )
     asm.terms = build_terms(asm)
     return asm

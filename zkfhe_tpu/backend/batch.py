@@ -1,29 +1,730 @@
 """Batched proving (BASELINE configs item 4: many independent BFV proofs
-on one host).
+vmapped across one host/chip).
 
-Each proof keeps its own Fiat-Shamir transcript (they are independent
-statements), so the batch dimension lives INSIDE the device kernels:
-after the first proof compiles every stage executable, subsequent proofs
-are pure warm device calls. `prove_batch` amortizes exactly that; the
-deeper cross-proof fusion (vmapping whole stages over the proof axis) is
-layered on the same stage kernels via parallel.sharding.batched_witgen.
+`prove_batch` runs the WHOLE proving pipeline with a leading proof axis:
+witness generation, advice scatter, lookup/permutation helpers, the
+quotient accumulation, evaluations and the SHPLONK multiopen are all
+`jax.vmap`s of the prover's single-proof stage kernels
+(backend/prover.py), and every commitment MSM folds the proof axis into
+the column axis so B proofs' columns ride the SAME width-tiered table-MSM
+launches (B x fewer dispatches and device->host transfers than a serial
+loop — dispatch latency and transfer round trips, not FLOPs, are what the
+serial loop wastes on the remote TPU).
+
+Fiat-Shamir stays per proof (independent statements, independent
+transcripts, per-proof challenges enter the kernels through the vmapped
+axis). With per-proof rng seeds the proof BYTES are identical to serial
+`prove(..., rng_seed=seed_i)` — tests/test_backend.py asserts this.
+
+The mesh (multi-chip) path composes at the witgen level only
+(parallel/sharding.batched_witgen shards the proof axis); the in-prove
+mesh sharding of prover.prove is for single proofs.
 """
 from __future__ import annotations
 
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import ntt as N
+from ..ops.field import FR
+from ..trace.builder import CTX_LK, CTX_P0, LOOKUP_BITS, NUM_CTX
+from ..trace.compile import make_witgen, run_circuit
+from . import protocol as PROTO
 from . import prover as PV
-from .keygen import ProvingKey
+from .assembly import EXT_FACTOR, LOOKUP_GROUP, PERM_CHUNK
+from .keygen import ProvingKey, make_committer, vk_digest
 from .srs import SRS
+from .transcript import Transcript
+
+L = F.NLIMBS
+
+
+# ---------------------------------------------------------------------------
+# vmapped kernel cache: one compiled executable per (kernel, axes) pair,
+# shared by every batch of the same shape
+# ---------------------------------------------------------------------------
+
+_VM_CACHE: dict = {}
+
+
+def _vm(key, fn, in_axes):
+    if key not in _VM_CACHE:
+        _VM_CACHE[key] = jax.jit(jax.vmap(fn, in_axes=in_axes))
+    return _VM_CACHE[key]
+
+
+_batched_witgen_cache: dict = {}
+
+
+def _batched_witgen(circuit_fn):
+    if circuit_fn not in _batched_witgen_cache:
+        def single(inputs, gamma):
+            _, values, instance = run_circuit(circuit_fn, inputs, gamma)
+            return values, instance
+
+        _batched_witgen_cache[circuit_fn] = jax.jit(
+            jax.vmap(single, in_axes=(0, 0)))
+    return _batched_witgen_cache[circuit_fn]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _j_lookup_counts(nlk_u, n, lk_row):
+    """(size,) byte values -> (L, n) standard-form multiplicity column
+    (mirrors the serial bincount in prover.prove)."""
+    counts = jnp.bincount(lk_row.astype(jnp.int32), length=1 << LOOKUP_BITS)
+    counts = counts.at[0].add(nlk_u - lk_row.shape[0])
+    m_std = jnp.zeros((L, n), dtype=jnp.uint32)
+    m_std = m_std.at[0, : 1 << LOOKUP_BITS].set(counts.astype(jnp.uint32))
+    m_std, _ = F._carry_chain(m_std)
+    return m_std
+
+
+@jax.jit
+def _j_perm_vals(adv_b, inst_b, fixed_const):
+    """Per-proof permutation-column value matrix: advice || const-fixed ||
+    instance (the batched form of the serial concatenate in prove())."""
+    B, L_, _, n = adv_b.shape
+    fc = jnp.broadcast_to(fixed_const[None, :, None], (B, L_, 1, n))
+    return jnp.concatenate([adv_b, fc, inst_b[:, :, None]], axis=2)
+
+
+@jax.jit
+def _j_fold_proof_axis(x):
+    """(B, L, K, n) -> (L, B*K, n), proof-major column order."""
+    B, L_, K, n = x.shape
+    return jnp.moveaxis(x, 0, 1).reshape(L_, B * K, n)
+
+
+class _BatchPolyStore:
+    """name -> per-proof (B, L, n) arrays; shared (circuit-constant)
+    polys are stored once as (L, n) and broadcast on read."""
+
+    def __init__(self, batch: int):
+        self.B = batch
+        self._direct = {}
+        self._stacks = {}  # name -> (arr, i, shared)
+
+    def set_per_proof(self, key, value):  # (B, L, n)
+        self._direct[key] = (value, False)
+
+    def add_stack(self, names, arr, shared=False):
+        # arr: (B, L, K, n) or shared (L, K, n)
+        for i, nm in enumerate(names):
+            self._stacks[nm] = (arr, i, shared)
+
+    def get(self, key):  # -> (B, L, n)
+        if key in self._direct:
+            v, shared = self._direct[key]
+        else:
+            arr, i, shared = self._stacks[key]
+            v = arr[:, i] if shared else arr[:, :, i]
+        if shared:
+            v = jnp.broadcast_to(v[None], (self.B,) + v.shape)
+        return v
 
 
 def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
                 rng_seeds=None) -> list[bytes]:
-    """Prove a batch of independent instances against one proving key.
+    """Prove B independent instances against one proving key, batched on
+    the proof axis end to end. Returns the per-proof proof bytes, byte-
+    identical to serial prove() with the same rng_seeds."""
+    B = len(inputs_list)
+    assert B >= 1
+    asm = pk.asm
+    k, n, u = asm.k, asm.n, asm.u
+    dom = N.Domain.new(k)
+    ext_k = k + EXT_FACTOR.bit_length() - 1
+    dom_ext = N.Domain.new(ext_k)
+    ext_n = dom_ext.n
+    delta = pk.vk.delta
+    shape = pk.vk.shape
 
-    The first call compiles all stage kernels; the rest reuse them. With
-    a data-parallel mesh, combine with parallel.sharding.batched_witgen.
-    """
-    proofs = []
-    for i, inputs in enumerate(inputs_list):
-        seed = None if rng_seeds is None else rng_seeds[i]
-        proofs.append(PV.prove(pk, srs, circuit_fn, inputs, rng_seed=seed))
-    return proofs
+    import random as _random
+    rngs = [(_random.SystemRandom() if rng_seeds is None
+             else _random.Random(rng_seeds[i])) for i in range(B)]
+
+    from ..utils.profiling import StageTimer
+    _timer = StageTimer("prove_batch", stream=None)
+
+    trs = [Transcript() for _ in range(B)]
+    digest = vk_digest(pk.vk)
+    for tr in trs:
+        tr.common_bytes(digest)
+
+    witgen_b = _batched_witgen(circuit_fn)
+    batched_inputs = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *inputs_list)
+
+    # ---- phase 0 -----------------------------------------------------------
+    zero_gammas = jnp.zeros((B, L), dtype=jnp.uint32)
+    values0, instances = witgen_b(batched_inputs, zero_gammas)
+    inst_np = np.asarray(instances)  # ONE transfer for all proofs
+    inst_ints = [F.decode(FR, inst_np[i]) for i in range(B)]
+    for i, tr in enumerate(trs):
+        for v in inst_ints[i]:
+            tr.common_scalar(v)
+    _timer.mark("witgen0")
+
+    scatter_idx = tuple(
+        jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
+                    + asm.cell_row[ctx].astype(np.int64))
+        for ctx in range(NUM_CTX)
+    )
+    blind = jnp.stack([
+        jnp.asarray(PV._rand_field_rows(rngs[i], asm.num_advice, n - u))
+        for i in range(B)])
+
+    vm_advice = _vm(("advice", dom, asm.num_advice, n, u),
+                    functools.partial(PV._j_advice, dom, asm.num_advice,
+                                      n, u),
+                    (0, None, 0))
+    adv, adv_coeffs = vm_advice(values0, scatter_idx, blind)
+    p0 = asm.num_p0_cols
+
+    committer = make_committer(srs, n, u)
+    assert committer is not None, \
+        "prove_batch needs the fixed-base table committer (ZKFHE_MSM=tab)"
+
+    def commit_batch(evals_b, col_bits=None, split_tail=True):
+        """(B, L, K, n) -> per-proof point lists via ONE folded commit."""
+        K = evals_b.shape[2]
+        if K == 0:
+            return [[] for _ in range(B)]
+        folded = _j_fold_proof_axis(evals_b)
+        cb = None if col_bits is None else np.tile(np.asarray(col_bits), B)
+        pts = committer.commit_values(folded, split_tail=split_tail,
+                                      col_bits=cb)
+        return [pts[b * K:(b + 1) * K] for b in range(B)]
+
+    def commit_coeffs_batch(coeffs_b):
+        K = coeffs_b.shape[2]
+        folded = _j_fold_proof_axis(coeffs_b)
+        pts = committer.commit_coeffs(folded, dom)
+        return [pts[b * K:(b + 1) * K] for b in range(B)]
+
+    if p0:
+        for i, pts in enumerate(commit_batch(adv[:, :, :p0],
+                                             asm.col_bits[:p0])):
+            for pt in pts:
+                trs[i].write_point(pt)
+    _timer.mark("phase0_commit")
+    gammas = [tr.challenge() for tr in trs]
+    gammas_m = jnp.stack([PV._enc_mont_scalar(g) for g in gammas])
+    gammas_std = jnp.stack(
+        [jnp.asarray(F.encode(FR, [g]))[:, 0] for g in gammas])
+
+    # ---- full witness with the real challenges -----------------------------
+    values1, instances1 = witgen_b(batched_inputs, gammas_std)
+    assert bool(jnp.array_equal(instances, instances1)), \
+        "instance values depend on the challenge"
+    assert bool(jnp.array_equal(values0[CTX_P0], values1[CTX_P0])), \
+        "phase-0 advice values depend on the challenge"
+    _timer.mark("witgen1")
+    adv, adv_coeffs = vm_advice(values1, scatter_idx, blind)
+    for i, pts in enumerate(commit_batch(adv[:, :, p0:],
+                                         asm.col_bits[p0:])):
+        for pt in pts:
+            trs[i].write_point(pt)
+
+    polys = _BatchPolyStore(B)
+    polys.add_stack([f"adv{i}" for i in range(asm.num_advice)], adv_coeffs)
+    polys.add_stack([f"fixed{i}" for i in range(pk.fixed_coeffs.shape[1])],
+                    pk.fixed_coeffs, shared=True)
+    polys.add_stack([f"sigma{i}" for i in range(pk.sigma_coeffs.shape[1])],
+                    pk.sigma_coeffs, shared=True)
+
+    vm_mont = _vm(("to_mont",), functools.partial(F.to_mont, FR), (0,))
+    inst_vals = jnp.zeros((B, L, n), dtype=jnp.uint32)
+    ilen = instances.shape[2]
+    if ilen:
+        inst_vals = inst_vals.at[:, :, :ilen].set(vm_mont(instances))
+    vm_intt = _vm(("intt", dom), functools.partial(N.intt, dom), (0,))
+    polys.set_per_proof("instance", vm_intt(inst_vals))
+
+    # ---- lookup multiplicities ---------------------------------------------
+    nlk = asm.num_lk_cols
+    lk_base = asm.num_advice - nlk
+    ngroups = PROTO.num_lookup_groups(shape)
+    table_std = np.zeros(n, dtype=np.uint64)
+    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
+    table_vals = F.to_mont(FR, jnp.asarray(F.encode_ints_np(list(table_std))))
+
+    if nlk:
+        vm_counts = _vm(("lk_counts", nlk * u, n),
+                        functools.partial(_j_lookup_counts, nlk * u, n),
+                        (0,))
+        m_std = vm_counts(values1[CTX_LK][:, 0])  # (B, L, n)
+        m_vals = vm_mont(m_std)
+        m_tail = jnp.stack([
+            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u)[:, 0])
+            for i in range(B)])
+        m_vals = jnp.concatenate([m_vals[:, :, :u], m_tail], axis=2)
+        polys.set_per_proof("lookup_m", vm_intt(m_vals))
+        mb = np.asarray([(nlk * u).bit_length()])
+        for i, pts in enumerate(commit_batch(m_vals[:, :, None], mb)):
+            for pt in pts:
+                trs[i].write_point(pt)
+    _timer.mark("phase1_commit")
+    betas_l = [tr.challenge() for tr in trs]
+    betas_lm = jnp.stack([PV._enc_mont_scalar(b) for b in betas_l])
+
+    h_coeffs = None
+    if nlk:
+        vm_lookup_aux = _vm(("lookup_aux", dom, u),
+                            functools.partial(PV._j_lookup_aux, dom, u),
+                            (0, 0, None, 0, 0, 0, 0))
+        rand_h = jnp.stack([
+            jnp.asarray(PV._rand_field_rows(rngs[i], ngroups, n - u))
+            for i in range(B)])
+        rand_g = jnp.stack([
+            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u)[:, 0])
+            for i in range(B)])
+        rand_phi = jnp.stack([
+            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u - 1)[:, 0])
+            for i in range(B)])
+        h_all, g_vals, phi_vals, h_coeffs, g_coeffs, phi_coeffs = \
+            vm_lookup_aux(adv[:, :, lk_base:, :], m_vals, table_vals,
+                          betas_lm, rand_h, rand_g, rand_phi)
+        polys.add_stack([f"lookup_h{g}" for g in range(ngroups)], h_coeffs)
+        polys.set_per_proof("lookup_g", g_coeffs)
+        polys.set_per_proof("lookup_phi", phi_coeffs)
+        aux_vals = jnp.concatenate(
+            [h_all, g_vals[:, :, None], phi_vals[:, :, None]], axis=2)
+        for i, pts in enumerate(commit_batch(aux_vals, split_tail=False)):
+            for pt in pts:
+                trs[i].write_point(pt)
+    _timer.mark("lookup_commit")
+    betas_p = [tr.challenge() for tr in trs]
+    gammas_p = [tr.challenge() for tr in trs]
+    betas_pm = jnp.stack([PV._enc_mont_scalar(b) for b in betas_p])
+    gammas_pm = jnp.stack([PV._enc_mont_scalar(g) for g in gammas_p])
+
+    # ---- permutation grand products ----------------------------------------
+    P = asm.num_perm_cols
+    nz = PROTO.num_perm_chunks(shape)
+    fixed_vals_const = N.ntt(dom, pk.fixed_coeffs[:, 0])
+    perm_vals = _j_perm_vals(adv, inst_vals, fixed_vals_const)
+
+    delta_pows = [1] * P
+    for i in range(1, P):
+        delta_pows[i] = delta_pows[i - 1] * delta % FR.p
+    dpow = jnp.asarray(F.encode(FR, delta_pows, mont=True))
+    wpow = F.power_series(FR, PV._enc_mont_scalar(dom.omega), n)
+
+    rand_z = jnp.stack([
+        jnp.asarray(PV._rand_field_rows(rngs[i], nz, n - u - 1))
+        for i in range(B)])
+    vm_perm_z = _vm(("perm_z", dom, u),
+                    functools.partial(PV._j_perm_z, dom, u),
+                    (0, None, None, None, 0, 0, 0))
+    z_lag, z_coeffs = vm_perm_z(perm_vals, pk.sigma_vals, dpow, wpow,
+                                betas_pm, gammas_pm, rand_z)
+    jax.block_until_ready(z_lag)
+    _timer.mark("perm_z")
+    del perm_vals
+    polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
+    for i, pts in enumerate(commit_batch(z_lag, split_tail=False)):
+        for pt in pts:
+            trs[i].write_point(pt)
+
+    rand_coeffs = jnp.stack([
+        jnp.asarray(PV._rand_field_rows(rngs[i], 1, n)) for i in range(B)])
+    polys.set_per_proof("random", rand_coeffs[:, :, 0])
+    for i, pts in enumerate(commit_coeffs_batch(rand_coeffs)):
+        for pt in pts:
+            trs[i].write_point(pt)
+    _timer.mark("perm_commit")
+    ys = [tr.challenge() for tr in trs]
+
+    # ---- quotient on the extended coset ------------------------------------
+    coset_gen = delta
+    cpow = F.power_series(FR, PV._enc_mont_scalar(coset_gen), ext_n)
+    cpow_inv = F.power_series(
+        FR, PV._enc_mont_scalar(pow(coset_gen, FR.p - 2, FR.p)), ext_n)
+    xcoset = F.mont_mul(
+        FR,
+        F.power_series(FR, PV._enc_mont_scalar(dom_ext.omega), ext_n),
+        jnp.broadcast_to(PV._enc_mont_scalar(coset_gen)[:, None],
+                         (L, ext_n)),
+    )
+
+    terms = PROTO.build_terms(shape)
+    ny = len(terms)
+    y_w = []
+    for y in ys:
+        y_pows = [1] * ny
+        for i in range(1, ny):
+            y_pows[i] = y_pows[i - 1] * y % FR.p
+        y_w.append([y_pows[ny - 1 - i] for i in range(ny)])
+
+    fixed_names = PROTO.fixed_poly_names(shape)
+    fidx = {nm: i for i, nm in enumerate(fixed_names)}
+
+    def fq(nm):
+        return f"fixed{fidx[nm]}"
+
+    acc = jnp.zeros((B, L, ext_n), dtype=jnp.uint32)
+    zero_col = jnp.zeros((B, L, n), dtype=jnp.uint32)
+    zero_ev = jnp.zeros((B, L, ext_n), dtype=jnp.uint32)
+
+    vm_coset = _vm(("coset", dom_ext),
+                   functools.partial(PV._coset, dom_ext), (0, None))
+
+    cos_cache = {}
+    cos_budget = int(os.environ.get("ZKFHE_COSET_CACHE_MB", "6000")) \
+        * (1 << 20) // (L * ext_n * 4 * B)
+
+    def coset_of(names):
+        missing = [nm for nm in names if nm not in cos_cache]
+        out = {}
+        for s2 in range(0, len(missing), 8):
+            grp2 = missing[s2:s2 + 8]
+            stack = jnp.stack([polys.get(nm) for nm in grp2]
+                              + [zero_col] * (8 - len(grp2)), axis=2)
+            ev = vm_coset(stack, cpow)
+            for i2, nm in enumerate(grp2):
+                out[nm] = ev[:, :, i2]
+                if len(cos_cache) < cos_budget:
+                    cos_cache[nm] = out[nm]
+        return [cos_cache.get(nm) if cos_cache.get(nm) is not None
+                else out[nm] for nm in names]
+
+    def ev_stack(names, width):
+        evs = coset_of(names)
+        return jnp.stack(evs + [zero_ev] * (width - len(names)), axis=2)
+
+    qact_ev = coset_of([fq("q_act")])[0]
+
+    def enc_ws(tis, width):
+        rows = []
+        for i in range(B):
+            vals = [y_w[i][ti] for ti in tis] + [0] * (width - len(tis))
+            rows.append(jnp.asarray(F.encode(FR, vals, mont=True)))
+        return jnp.stack(rows)
+
+    vm_acc_add = _vm(("acc_add",), functools.partial(F.add, FR), (0, 0))
+
+    by_kind = {}
+    for ti, (kind, arg) in enumerate(terms):
+        by_kind.setdefault(kind, []).append((ti, arg))
+
+    GATE_BATCH = 8
+    vm_gate = _vm(("gate_terms",), PV._gate_terms_partial, (0, 0, 0))
+    for s in range(0, len(by_kind.get("gate", [])), GATE_BATCH):
+        grp = by_kind["gate"][s:s + GATE_BATCH]
+        a_ev = ev_stack([f"adv{arg}" for _, arg in grp], GATE_BATCH)
+        sel_ev = ev_stack([fq(f"sel_{arg}") for _, arg in grp], GATE_BATCH)
+        acc = vm_acc_add(acc, vm_gate(
+            enc_ws([ti for ti, _ in grp], GATE_BATCH), a_ev, sel_ev))
+
+    vm_chal = _vm(("chal_terms",), PV._chal_terms_partial, (0, 0, 0, 0))
+    for s in range(0, len(by_kind.get("challenge", [])), GATE_BATCH):
+        grp = by_kind["challenge"][s:s + GATE_BATCH]
+        a_ev = ev_stack([f"adv{arg}" for _, arg in grp], GATE_BATCH)
+        qg_ev = ev_stack([fq(f"qgamma_{arg}") for _, arg in grp],
+                         GATE_BATCH)
+        acc = vm_acc_add(acc, vm_chal(
+            enc_ws([ti for ti, _ in grp], GATE_BATCH), a_ev, qg_ev,
+            gammas_m))
+
+    # logUp helper terms: FULL groups in one dispatch, ragged singletons
+    lk_full, lk_ragged = [], []
+    for ti, g in by_kind.get("lookup_h", []):
+        cols = list(range(g * LOOKUP_GROUP, min((g + 1) * LOOKUP_GROUP, nlk)))
+        (lk_full if len(cols) == LOOKUP_GROUP else lk_ragged).append(
+            (ti, g, cols))
+    if lk_full:
+        h_ev = ev_stack([f"lookup_h{g}" for _, g, _ in lk_full],
+                        len(lk_full))
+        l_ev = jnp.stack(
+            [jnp.stack(coset_of([f"adv{lk_base + i}" for i in cols]),
+                       axis=2)
+             for _, _, cols in lk_full], axis=2)
+        # qact_ev is per-proof batched here (coset_of returns (B, L, E)),
+        # so map it over axis 0 rather than broadcasting
+        vm_lk_h = _vm(("lookup_h_terms_b",), PV._lookup_h_terms_partial,
+                      (0, 0, 0, 0, 0))
+        acc = vm_acc_add(acc, vm_lk_h(
+            enc_ws([ti for ti, _, _ in lk_full], len(lk_full)),
+            h_ev, l_ev, qact_ev, betas_lm))
+    for ti, g, cols in lk_ragged:
+        lstack = jnp.stack([polys.get(f"adv{lk_base + i}") for i in cols],
+                           axis=2)
+        vm_lk1 = _vm(("lookup_h_term", dom_ext),
+                     functools.partial(PV._j_lookup_h_term, dom_ext),
+                     (0, 0, 0, 0, 0, None, 0))
+        acc = vm_lk1(acc, _enc_b(y_w, ti), polys.get(f"lookup_h{g}"),
+                     lstack, polys.get(fq("q_act")), cpow, betas_lm)
+
+    # permutation chunk terms
+    def perm_col_name(i):
+        if i < asm.num_advice:
+            return f"adv{i}"
+        if i == asm.num_advice:
+            return fq("const")
+        return "instance"
+
+    pc_full = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
+               if min((j + 1) * PERM_CHUNK, P) - j * PERM_CHUNK == PERM_CHUNK]
+    pc_ragged = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
+                 if (ti, j) not in pc_full]
+    PERMJ = 4
+    vm_perm = _vm(("perm_chunks",), PV._perm_chunks_partial,
+                  (0, 0, 0, 0, None, 0, None, 0, 0))
+    for s in range(0, len(pc_full), PERMJ):
+        grp = pc_full[s:s + PERMJ]
+        npad = PERMJ - len(grp)
+        zero_grp_p = jnp.zeros((B, L, PERM_CHUNK, ext_n), dtype=jnp.uint32)
+
+        def chunk_ev(name_fn):
+            rows = [jnp.stack(
+                coset_of([name_fn(i) for i in range(j * PERM_CHUNK,
+                                                    (j + 1) * PERM_CHUNK)]),
+                axis=2) for _, j in grp]
+            return jnp.stack(rows + [zero_grp_p] * npad, axis=2)
+
+        z_ev = ev_stack([f"perm_z{j}" for _, j in grp], PERMJ)
+        v_ev = chunk_ev(perm_col_name)
+        sig_ev = chunk_ev(lambda i: f"sigma{i}")
+        dp_rows = [dpow[:, j * PERM_CHUNK:(j + 1) * PERM_CHUNK]
+                   for _, j in grp]
+        dp_rows += [jnp.zeros((L, PERM_CHUNK), dtype=jnp.uint32)] * npad
+        dpows = jnp.stack(dp_rows, axis=1)
+        acc = vm_acc_add(acc, vm_perm(
+            enc_ws([ti for ti, _ in grp], PERMJ),
+            z_ev, v_ev, sig_ev, dpows, qact_ev, xcoset, betas_pm,
+            gammas_pm))
+    for ti, j in pc_ragged:
+        idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
+        vm_pc1 = _vm(("perm_chunk_term", dom_ext, len(idxs)),
+                     functools.partial(PV._j_perm_chunk_term, dom_ext),
+                     (0, 0, 0, 0, 0, 0, None, None, None, 0, 0))
+        acc = vm_pc1(acc, _enc_b(y_w, ti), polys.get(f"perm_z{j}"),
+                     jnp.stack([polys.get(perm_col_name(i)) for i in idxs],
+                               axis=2),
+                     jnp.stack([polys.get(f"sigma{i}") for i in idxs],
+                               axis=2),
+                     polys.get(fq("q_act")), cpow, xcoset,
+                     dpow[:, idxs[0]:idxs[-1] + 1], betas_pm, gammas_pm)
+
+    # chain terms
+    qfirst_ev = coset_of([fq("q_first")])[0]
+    chains = by_kind.get("perm_chain", [])
+    if chains:
+        vm_chain = _vm(("perm_chains", u),
+                       functools.partial(PV._perm_chains_partial, u),
+                       (0, 0, 0, 0))
+        for s in range(0, len(chains), GATE_BATCH):
+            grp = chains[s:s + GATE_BATCH]
+            zj_ev = ev_stack([f"perm_z{j}" for _, j in grp], GATE_BATCH)
+            zp_ev = ev_stack([f"perm_z{j - 1}" for _, j in grp], GATE_BATCH)
+            acc = vm_acc_add(acc, vm_chain(
+                enc_ws([ti for ti, _ in grp], GATE_BATCH), zj_ev, zp_ev,
+                qfirst_ev))
+
+    # singleton terms
+    for ti, (kind, arg) in enumerate(terms):
+        w = _enc_b(y_w, ti)
+        if kind == "lookup_table":
+            fn = _vm(("lookup_table_term", dom_ext),
+                     functools.partial(PV._j_lookup_table_term, dom_ext),
+                     (0, 0, 0, None, 0, None, None, 0))
+            acc = fn(acc, w, polys.get("lookup_g"),
+                     pk.fixed_coeffs[:, fidx["table"]],
+                     polys.get("lookup_m"),
+                     pk.fixed_coeffs[:, fidx["q_act"]], cpow, betas_lm)
+        elif kind == "lookup_acc":
+            fn = _vm(("lookup_acc_term", dom_ext),
+                     functools.partial(PV._j_lookup_acc_term, dom_ext),
+                     (0, 0, 0, 0, 0, None, None))
+            acc = fn(acc, w, polys.get("lookup_phi"), h_coeffs,
+                     polys.get("lookup_g"),
+                     pk.fixed_coeffs[:, fidx["q_act"]], cpow)
+        elif kind in ("lookup_first", "lookup_last", "perm_first",
+                      "perm_last"):
+            sel = {"lookup_first": "q_first", "lookup_last": "q_last",
+                   "perm_first": "q_first", "perm_last": "q_last"}[kind]
+            poly = {"lookup_first": "lookup_phi",
+                    "lookup_last": "lookup_phi",
+                    "perm_first": "perm_z0",
+                    "perm_last": f"perm_z{nz - 1}"}[kind]
+            base = (PV._j_sel_poly_term if kind.startswith("lookup")
+                    else PV._j_sel_poly_minus_one_term)
+            fn = _vm((f"sel_poly_{kind.startswith('perm')}", dom_ext),
+                     functools.partial(base, dom_ext),
+                     (0, 0, 0, None, None))
+            acc = fn(acc, w, polys.get(poly),
+                     pk.fixed_coeffs[:, fidx[sel]], cpow)
+        elif kind in ("gate", "challenge", "lookup_h", "perm_chunk",
+                      "perm_chain"):
+            pass
+        else:
+            raise AssertionError(kind)
+
+    cos_cache.clear()
+    jax.block_until_ready(acc)
+    _timer.mark("quot_terms")
+    zh_cycle = []
+    gn = pow(coset_gen, n, FR.p)
+    for j in range(EXT_FACTOR):
+        val = (gn * pow(dom_ext.omega, n * j, FR.p) - 1) % FR.p
+        zh_cycle.append(pow(val, FR.p - 2, FR.p))
+    zh_inv = jnp.tile(
+        jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
+        (1, ext_n // EXT_FACTOR))
+    vm_finish = _vm(("quot_finish", dom_ext),
+                    functools.partial(PV._j_quot_finish, dom_ext),
+                    (0, None, None))
+    h_full = vm_finish(acc, zh_inv, cpow_inv)
+    hq = h_full[:, :, : PROTO.NUM_QUOT_CHUNKS * n].reshape(
+        B, L, PROTO.NUM_QUOT_CHUNKS, n)
+    del h_full
+    polys.add_stack([f"quot{i}" for i in range(PROTO.NUM_QUOT_CHUNKS)], hq)
+    for i, pts in enumerate(commit_coeffs_batch(hq)):
+        for pt in pts:
+            trs[i].write_point(pt)
+    _timer.mark("quotient")
+    xs = [tr.challenge() for tr in trs]
+
+    # ---- evaluations --------------------------------------------------------
+    sched = PROTO.opening_schedule(shape)
+    omega = dom.omega
+    points_b = [{
+        0: x % FR.p,
+        1: x * omega % FR.p,
+        2: x * pow(omega, 2, FR.p) % FR.p,
+        3: x * pow(omega, 3, FR.p) % FR.p,
+        PROTO.ROT_LAST: x * pow(omega, u, FR.p) % FR.p,
+    } for x in xs]
+    vm_pows = _vm(("power_series", n),
+                  lambda b: F.power_series(FR, b, n), (0,))
+    xpows = {r: vm_pows(jnp.stack(
+        [PV._enc_mont_scalar(points_b[i][r]) for i in range(B)]))
+        for r in PROTO.ROTATIONS}
+
+    vm_evals = _vm(("evals_batch",), PV._j_evals_batch, (0, 0))
+    by_rot = {}
+    for name, rot in sched:
+        by_rot.setdefault(rot, []).append(name)
+    evals = [dict() for _ in range(B)]
+    EV_CHUNK = 64
+    for rot, names in by_rot.items():
+        for s in range(0, len(names), EV_CHUNK):
+            chunk = names[s:s + EV_CHUNK]
+            stack = jnp.stack([polys.get(nm) for nm in chunk], axis=2)
+            evs = np.asarray(vm_evals(stack, xpows[rot]))  # (B, L, K)
+            for i in range(B):
+                vals = F.decode(FR, evs[i], mont=True)
+                for nm, vv in zip(chunk, vals):
+                    evals[i][(nm, rot)] = vv
+            del stack
+    for i, tr in enumerate(trs):
+        for name, rot in sched:
+            tr.write_scalar(evals[i][(name, rot)])
+    _timer.mark("evals")
+
+    # ---- SHPLONK multiopen --------------------------------------------------
+    vs = [tr.challenge() for tr in trs]
+    y2s = [tr.challenge() for tr in trs]
+
+    sets = PROTO.rotation_sets(shape)
+    vm_combine = _vm(("combine",), PV._j_combine, (0, 0))
+    vm_div = _vm(("divide_linear",), PV._j_divide_linear, (0, 0, 0, 0))
+    zero_ce = jnp.zeros((B, L), dtype=jnp.uint32)
+
+    f_polys, set_pts, set_evals, h_list = [], [], [], []
+    CB = 64
+    for rots, names in sets:
+        vpows_host = [[pow(vs[i], j, FR.p) for j in range(len(names))]
+                      for i in range(B)]
+        comb = None
+        for s in range(0, len(names), CB):
+            stack = jnp.stack([polys.get(nm) for nm in names[s:s + CB]],
+                              axis=2)
+            vp = jnp.stack([
+                jnp.asarray(F.encode(FR, vpows_host[i][s:s + CB], mont=True))
+                for i in range(B)])
+            part = vm_combine(stack, vp)
+            del stack
+            comb = part if comb is None else vm_acc_add(comb, part)
+        pts_b = [[points_b[i][r] for r in rots] for i in range(B)]
+        fe_b = [[sum(vw * evals[i][(nm, r)]
+                     for vw, nm in zip(vpows_host[i], names)) % FR.p
+                 for r in rots] for i in range(B)]
+        rc_b = jnp.stack([
+            jnp.asarray(F.encode(
+                FR, PROTO.lagrange_coeffs(pts_b[i], fe_b[i], FR.p),
+                mont=True)) for i in range(B)])
+        vm_sub_low = _vm(("sub_low", len(rots)),
+                         functools.partial(PV._j_sub_low, len(rots)),
+                         (0, 0))
+        numer = vm_sub_low(comb, rc_b)
+        for ri in range(len(rots)):
+            zm = jnp.stack([PV._enc_mont_scalar(pts_b[i][ri])
+                            for i in range(B)])
+            zim = jnp.stack([
+                PV._enc_mont_scalar(pow(pts_b[i][ri], FR.p - 2, FR.p))
+                for i in range(B)])
+            numer = vm_div(numer, zero_ce, zm, zim)
+        f_polys.append(comb)
+        set_pts.append(pts_b)
+        set_evals.append(fe_b)
+        h_list.append(numer)
+
+    ypows_host = [[pow(y2s[i], si, FR.p) for si in range(len(sets))]
+                  for i in range(B)]
+    h_poly = vm_combine(
+        jnp.stack(h_list, axis=2),
+        jnp.stack([jnp.asarray(F.encode(FR, ypows_host[i], mont=True))
+                   for i in range(B)]))
+    for i, pts in enumerate(commit_coeffs_batch(h_poly[:, :, None])):
+        trs[i].write_point(pts[0])
+    us = [tr.challenge() for tr in trs]
+
+    t_vals_b = []
+    for i in range(B):
+        tv = []
+        for r in PROTO.ROTATIONS:
+            if any(r in rots for rots, _ in sets) \
+                    and points_b[i][r] not in tv:
+                tv.append(points_b[i][r])
+        t_vals_b.append(tv)
+    scal_b, c0_b = [[] for _ in range(B)], [0] * B
+    for si, (pts_b, fe_b) in enumerate(zip(set_pts, set_evals)):
+        for i in range(B):
+            z_rest = PROTO.vanishing_eval(
+                [t for t in t_vals_b[i] if t not in pts_b[i]], us[i], FR.p)
+            w = ypows_host[i][si] * z_rest % FR.p
+            scal_b[i].append(w)
+            c0_b[i] = (c0_b[i] + w * PROTO.lagrange_eval(
+                pts_b[i], fe_b[i], us[i], FR.p)) % FR.p
+    for i in range(B):
+        scal_b[i].append(
+            (-PROTO.vanishing_eval(t_vals_b[i], us[i], FR.p)) % FR.p)
+    l_comb = vm_combine(
+        jnp.stack(f_polys + [h_poly], axis=2),
+        jnp.stack([jnp.asarray(F.encode(FR, scal_b[i], mont=True))
+                   for i in range(B)]))
+    w_poly = vm_div(
+        l_comb,
+        jnp.stack([PV._enc_mont_scalar(c0_b[i]) for i in range(B)]),
+        jnp.stack([PV._enc_mont_scalar(us[i]) for i in range(B)]),
+        jnp.stack([PV._enc_mont_scalar(pow(us[i], FR.p - 2, FR.p))
+                   for i in range(B)]))
+    for i, pts in enumerate(commit_coeffs_batch(w_poly[:, :, None])):
+        trs[i].write_point(pts[0])
+    _timer.mark("multiopen")
+
+    PV.LAST_STAGES.clear()
+    PV.LAST_STAGES.update(_timer.summary())
+    return [tr.proof_bytes() for tr in trs]
+
+
+def _enc_b(y_w, ti):
+    """(B, L) Montgomery-encoded per-proof weight y_i^(...) for term ti."""
+    return jnp.stack([PV._enc_mont_scalar(yw[ti]) for yw in y_w])

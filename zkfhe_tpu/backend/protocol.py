@@ -3,7 +3,7 @@
 Prover and verifier both iterate these EXACT sequences; any drift breaks
 verification, so they live in one module. Roles mirror halo2's protocol
 description (SURVEY.md §3.3): phase-0 advice -> gamma -> phase-1 advice ->
-lookup (logUp) -> permutation -> vanishing -> multiopen (GWC flavor).
+lookup (logUp) -> permutation -> vanishing -> multiopen (SHPLONK).
 """
 from __future__ import annotations
 
@@ -91,6 +91,78 @@ def opening_schedule(shape) -> list:
     for i in range(NUM_QUOT_CHUNKS):
         sched.append((f"quot{i}", 0))
     return sched
+
+
+def rotation_sets(shape) -> list:
+    """SHPLONK grouping: polys bucketed by their full rotation SET.
+
+    Returns an ordered list of (rotations_tuple, [poly names]); each
+    opened poly appears in exactly one set. Prover and verifier iterate
+    this EXACT order — set index i weights with y^i, position j within a
+    set weights with v^j (BDFG20 / halo2-axiom `poly/kzg/multiopen/
+    shplonk` behavior, SURVEY.md §2.2 "KZG/SHPLONK")."""
+    sched = opening_schedule(shape)
+    rots_of: dict = {}
+    name_order = []
+    for nm, rot in sched:
+        if nm not in rots_of:
+            rots_of[nm] = []
+            name_order.append(nm)
+        rots_of[nm].append(rot)
+    groups: dict = {}
+    group_order = []
+    for nm in name_order:
+        key = tuple(rots_of[nm])
+        if key not in groups:
+            groups[key] = []
+            group_order.append(key)
+        groups[key].append(nm)
+    return [(key, groups[key]) for key in group_order]
+
+
+def lagrange_coeffs(pts: list, vals: list, p: int) -> list:
+    """Coefficients (ascending, length len(pts)) of the interpolation of
+    (pts[j], vals[j]) — host python ints; the SHPLONK r_i(X) polys are
+    degree <= 3 so this is trivial."""
+    m = len(pts)
+    out = [0] * m
+    for j in range(m):
+        num = [1]  # prod_{k != j} (X - pts[k]), ascending coeffs
+        den = 1
+        for k in range(m):
+            if k == j:
+                continue
+            new = [0] * (len(num) + 1)
+            for d, c in enumerate(num):
+                new[d] = (new[d] - pts[k] * c) % p
+                new[d + 1] = (new[d + 1] + c) % p
+            num = new
+            den = den * (pts[j] - pts[k]) % p
+        s = vals[j] * pow(den, p - 2, p) % p
+        for d, c in enumerate(num):
+            out[d] = (out[d] + s * c) % p
+    return out
+
+
+def lagrange_eval(pts: list, vals: list, z: int, p: int) -> int:
+    """Evaluate the interpolation of (pts, vals) at z (z not in pts)."""
+    acc = 0
+    for j in range(len(pts)):
+        num, den = 1, 1
+        for k in range(len(pts)):
+            if k == j:
+                continue
+            num = num * (z - pts[k]) % p
+            den = den * (pts[j] - pts[k]) % p
+        acc = (acc + vals[j] * num % p * pow(den, p - 2, p)) % p
+    return acc
+
+
+def vanishing_eval(pts: list, z: int, p: int) -> int:
+    acc = 1
+    for t in pts:
+        acc = acc * (z - t) % p
+    return acc
 
 
 NUM_QUOT_CHUNKS = 5  # max constraint degree 6 -> h degree <= 5n-6, 5 chunks

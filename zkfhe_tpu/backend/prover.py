@@ -1,7 +1,7 @@
 """The proving pipeline (SURVEY.md §3.3, rebuilt TPU-native).
 
 create_proof stages, mirroring halo2's protocol with a logUp lookup and
-GWC-style multiopen (see backend/protocol.py for the exact schedule):
+SHPLONK multiopen (see backend/protocol.py for the exact schedule):
 
   1. jitted witness generation (phase 0), column scatter, blinding,
      phase-0 commitments                         -> squeeze gamma
@@ -11,8 +11,9 @@ GWC-style multiopen (see backend/protocol.py for the exact schedule):
   4. permutation grand products (chunked)        -> squeeze y
   5. quotient: fold all constraint terms on the 8n coset with y powers,
      divide by Z_H, split/commit                 -> squeeze x
-  6. evaluations of every opened polynomial      -> squeeze v
-  7. GWC witness polys per opening point (synthetic division) -> proof
+  6. evaluations of every opened polynomial      -> squeeze v, y2
+  7. SHPLONK: per-rotation-set quotients folded into ONE h poly,
+     commit H -> squeeze u -> linearization witness W -> proof
 
 Performance shape: every stage below is a MODULE-LEVEL JITTED function
 (one XLA executable each, reused across every term/column/proof), so the
@@ -386,6 +387,13 @@ def _j_divide_linear(comb, ce, zm, zim):
     return F.mont_mul(FR, s_next, zip_[:, 1:])
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _j_sub_low(m, comb, rc_enc):
+    """Subtract an (L, m) Montgomery coefficient block from the low-order
+    coefficients of comb (SHPLONK's f_i - r_i with deg r_i < m <= 4)."""
+    return comb.at[:, :m].set(F.sub(FR, comb[:, :m], rc_enc))
+
+
 @jax.jit
 def _j_combine(coeffs_stack, vpows):
     """sum_j vpows[j] * coeffs_stack[:, j] -> (L, n)."""
@@ -556,13 +564,15 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     committer = make_committer(srs, n, u, mesh=mesh, mesh_axis=mesh_axis)
 
-    def commit_evals(evals):
+    def commit_evals(evals, col_bits=None):
         """Advice commitment (width-tiered main rows + shared blind
-        tail). Default: the fixed-base table MSM; ZKFHE_MSM=scanlag
-        forces the round-1 bucket-scan Lagrange path, ZKFHE_MSM=scan
-        (or ZKFHE_NO_LAGRANGE=1) the coefficient-form scan path."""
+        tail); col_bits = STATIC per-column bounds (Assembly.col_bits) so
+        tier choice never reads witness magnitudes. Default: the
+        fixed-base table MSM; ZKFHE_MSM=scanlag forces the round-1
+        bucket-scan Lagrange path, ZKFHE_MSM=scan (or ZKFHE_NO_LAGRANGE=1)
+        the coefficient-form scan path."""
         if committer is not None:
-            return committer.commit_values(evals)
+            return committer.commit_values(evals, col_bits=col_bits)
         if srs.g1_lag is not None and not os.environ.get("ZKFHE_NO_LAGRANGE"):
             return commit_columns_lagrange(srs.g1_lag, evals, u)
         return commit_columns(srs, N.intt(dom, evals))
@@ -579,7 +589,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             return committer.commit_coeffs(coeffs, dom)
         return commit_columns(srs, coeffs)
 
-    commits_p0 = commit_evals(adv[:, :p0]) if p0 else []
+    commits_p0 = commit_evals(adv[:, :p0], asm.col_bits[:p0]) if p0 else []
     for pt in commits_p0:
         tr.write_point(pt)
 
@@ -604,7 +614,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     _timer.mark("witgen1")
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
                                 scatter_idx, blind)
-    commits_p1 = commit_evals(adv[:, p0:])
+    commits_p1 = commit_evals(adv[:, p0:], asm.col_bits[p0:])
     for pt in commits_p1:
         tr.write_point(pt)
 
@@ -643,7 +653,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         m_vals = jnp.concatenate(
             [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
         polys["lookup_m"] = N.intt(dom, m_vals)
-        for pt in commit_evals(m_vals[:, None]):
+        # multiplicity counts are bounded by the number of looked-up cells
+        for pt in commit_evals(m_vals[:, None],
+                               np.asarray([(nlk * u).bit_length()])):
             tr.write_point(pt)
 
     _log("phase-1 + multiplicities committed")
@@ -1022,36 +1034,80 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     _log("evaluations written")
     _timer.mark("evals")
-    v = tr.challenge()
 
-    # ---- GWC multiopen ------------------------------------------------------
-    # All W polys depend only on v/x, so build every one first and commit
-    # them as ONE padded MSM batch instead of one padded MSM each.
-    wpolys = []
-    for rot in PROTO.ROTATIONS:
-        group = [(nm, r) for (nm, r) in sched if r == rot]
-        if not group:
-            continue
-        vpows_host, combined_eval, vw = [], 0, 1
-        for nm, r in group:
-            vpows_host.append(vw)
-            combined_eval = (combined_eval + vw * evals[(nm, r)]) % FR.p
-            vw = vw * v % FR.p
+    # ---- SHPLONK multiopen (BDFG20; halo2-axiom's scheme, SURVEY.md §2.2)
+    # Polys are grouped by their full rotation SET (protocol.rotation_sets):
+    # v folds within a set, y2 folds across sets. The proof carries just
+    # TWO opening commitments (H, W) instead of GWC's one per point, and
+    # the verifier MSM touches each commitment once instead of once per
+    # opening (VERDICT round-2 missing #2).
+    v = tr.challenge()
+    y2 = tr.challenge()
+
+    sets = PROTO.rotation_sets(shape)
+    f_polys = []  # folded poly per set, device (L, n)
+    set_pts = []  # opening points per set
+    set_evals = []  # folded evals per set (host ints, aligned with pts)
+    h_list = []  # (f_i - r_i) / Z_{S_i}
+    zero_ce = _enc_mont_scalar(0)
+    CB = 64  # bound the stacked-combination peak memory
+    for rots, names in sets:
+        vpows_host = [pow(v, j, FR.p) for j in range(len(names))]
         comb = None
-        CB = 64  # bound the stacked-combination peak memory
-        for s in range(0, len(group), CB):
-            stack = jnp.stack(
-                [polys[nm] for nm, _ in group[s:s + CB]], axis=1)
+        for s in range(0, len(names), CB):
+            stack = jnp.stack([polys[nm] for nm in names[s:s + CB]], axis=1)
             vpows = jnp.asarray(
                 F.encode(FR, vpows_host[s:s + CB], mont=True))
             part = _j_combine(stack, vpows)
             del stack
-            comb = part if comb is None else F.add(FR, comb, part)
-        z = points[rot]
-        wpolys.append(_j_divide_linear(
-            comb, _enc_mont_scalar(combined_eval), _enc_mont_scalar(z),
-            _enc_mont_scalar(pow(z, FR.p - 2, FR.p))))
-    for pt in commit_coeffs(jnp.stack(wpolys, axis=1)):
+            comb = part if comb is None else _j_acc_add(comb, part)
+        pts = [points[r] for r in rots]
+        fe = [sum(vw * evals[(nm, r)] for vw, nm in zip(vpows_host, names))
+              % FR.p for r in rots]
+        rc = PROTO.lagrange_coeffs(pts, fe, FR.p)
+        numer = _j_sub_low(len(rc), comb,
+                           jnp.asarray(F.encode(FR, rc, mont=True)))
+        # exact division by Z_{S_i}(X) = prod (X - pt): the numerator
+        # vanishes on S_i, so each linear step divides exactly (ce = 0)
+        for z in pts:
+            numer = _j_divide_linear(
+                numer, zero_ce, _enc_mont_scalar(z),
+                _enc_mont_scalar(pow(z, FR.p - 2, FR.p)))
+        f_polys.append(comb)
+        set_pts.append(pts)
+        set_evals.append(fe)
+        h_list.append(numer)
+
+    ypows_host = [pow(y2, i, FR.p) for i in range(len(sets))]
+    h_poly = _j_combine(
+        jnp.stack(h_list, axis=1),
+        jnp.asarray(F.encode(FR, ypows_host, mont=True)))
+    for pt in commit_coeffs(h_poly[:, None]):
+        tr.write_point(pt)
+    u_pt = tr.challenge()
+
+    # L(X) = sum_i y2^i Z_{T \ S_i}(u) (f_i(X) - r_i(u)) - Z_T(u) h(X);
+    # L(u) = 0, so W = [L / (X - u)] closes the argument
+    t_vals = []
+    for r in PROTO.ROTATIONS:
+        if any(r in rots for rots, _ in sets) and points[r] not in t_vals:
+            t_vals.append(points[r])
+    z_t = PROTO.vanishing_eval(t_vals, u_pt, FR.p)
+    scal, c0 = [], 0
+    for i, (pts, fe) in enumerate(zip(set_pts, set_evals)):
+        z_rest = PROTO.vanishing_eval(
+            [t for t in t_vals if t not in pts], u_pt, FR.p)
+        w = ypows_host[i] * z_rest % FR.p
+        scal.append(w)
+        c0 = (c0 + w * PROTO.lagrange_eval(pts, fe, u_pt, FR.p)) % FR.p
+    scal.append((-z_t) % FR.p)
+    l_comb = _j_combine(
+        jnp.stack(f_polys + [h_poly], axis=1),
+        jnp.asarray(F.encode(FR, scal, mont=True)))
+    w_poly = _j_divide_linear(
+        l_comb, _enc_mont_scalar(c0), _enc_mont_scalar(u_pt),
+        _enc_mont_scalar(pow(u_pt, FR.p - 2, FR.p)))
+    for pt in commit_coeffs(w_poly[:, None]):
         tr.write_point(pt)
 
     _log("multiopen witnesses committed; proof done")

@@ -2,24 +2,34 @@
 
 Host-side orchestration of challenges (halo2-axiom uses a Blake2b
 transcript — SURVEY.md §2.2 "Transcript"); all device kernels hand their
-commitments/evals here. Serialization: points as 64-byte (x||y) LE affine
-(infinity = all zeros), scalars as 32-byte LE. The proof is the exact byte
-stream the prover wrote; the verifier reads and absorbs in the same order.
+commitments/evals here. Serialization: points COMPRESSED to 32 bytes
+(x LE with two flag bits in the top byte — BN254 Fq is 254 bits, so
+bits 254/255 are free: bit 255 = y parity, bit 254 = infinity), scalars
+as 32-byte LE. The proof is the exact byte stream the prover wrote; the
+verifier reads and absorbs in the same order.
 
-Deserialization is strict (ADVICE.md round-1 high/medium findings): point
-coordinates must be canonical (< q) and on the curve (BN254 G1 has
-cofactor 1, so on-curve implies the right subgroup), scalars must be
-canonical (< r), reads past the end of the proof raise, and the verifier
-checks the stream is exactly consumed — otherwise off-curve points would
-flow into the MSM/pairing (invalid-point forgery) and encodings would be
-malleable.
+Deserialization is strict (ADVICE.md round-1 high/medium findings):
+x must be canonical (< q) and x^3 + 3 must be a quadratic residue (the
+decompressed point is then on the curve by construction; BN254 G1 has
+cofactor 1, so on-curve implies the right subgroup), the infinity
+encoding must be exact, scalars must be canonical (< r), reads past the
+end of the proof raise, and the verifier checks the stream is exactly
+consumed — otherwise invalid points would flow into the MSM/pairing
+(invalid-point forgery) and encodings would be malleable.
 """
 from __future__ import annotations
 
 import hashlib
 
-from ..ops.curve import AffinePoint
+from ..ops.curve import AffinePoint, B_COEFF
 from ..ops.field import BN254_FQ as Q_MOD, BN254_FR as R_MOD
+
+assert Q_MOD % 4 == 3  # sqrt(a) = a^((q+1)/4) below relies on this
+_SQRT_EXP = (Q_MOD + 1) // 4
+
+_FLAG_PARITY = 0x80  # top byte bit 7: y is odd
+_FLAG_INF = 0x40  # top byte bit 6: point at infinity
+_X_MASK = 0x3F
 
 
 class ProofError(ValueError):
@@ -28,8 +38,31 @@ class ProofError(ValueError):
 
 def _point_bytes(p: AffinePoint) -> bytes:
     if p.infinity:
-        return b"\x00" * 64
-    return p.x.to_bytes(32, "little") + p.y.to_bytes(32, "little")
+        return b"\x00" * 31 + bytes([_FLAG_INF])
+    b = bytearray(p.x.to_bytes(32, "little"))
+    assert not b[31] & ~_X_MASK  # x < 2^254
+    b[31] |= _FLAG_PARITY if (p.y & 1) else 0
+    return bytes(b)
+
+
+def _point_from_bytes(b: bytes) -> AffinePoint:
+    flags = b[31] & ~_X_MASK
+    xb = bytearray(b)
+    xb[31] &= _X_MASK
+    x = int.from_bytes(xb, "little")
+    if flags & _FLAG_INF:
+        if x != 0 or flags & _FLAG_PARITY:
+            raise ProofError("non-canonical infinity encoding")
+        return AffinePoint()
+    if x >= Q_MOD:
+        raise ProofError("non-canonical point coordinate")
+    y2 = (x * x % Q_MOD * x + B_COEFF) % Q_MOD
+    y = pow(y2, _SQRT_EXP, Q_MOD)
+    if y * y % Q_MOD != y2:
+        raise ProofError("x not on curve")
+    if (y & 1) != bool(flags & _FLAG_PARITY):
+        y = Q_MOD - y
+    return AffinePoint(x, y)
 
 
 def _scalar_bytes(s: int) -> bytes:
@@ -40,7 +73,7 @@ class Transcript:
     """Write/read transcript with chained Blake2b squeezes."""
 
     def __init__(self, proof: bytes | None = None):
-        self._h = hashlib.blake2b(b"zkfhe-tpu-v1")
+        self._h = hashlib.blake2b(b"zkfhe-tpu-v2")
         self._buf = bytearray()  # written proof bytes (prover mode)
         self._read = memoryview(proof) if proof is not None else None
         self._pos = 0
@@ -76,18 +109,9 @@ class Transcript:
         return b
 
     def read_point(self) -> AffinePoint:
-        b = self._take(64)
+        b = self._take(32)
         self._h.update(b"wp" + b)
-        if b == b"\x00" * 64:
-            return AffinePoint()
-        x = int.from_bytes(b[:32], "little")
-        y = int.from_bytes(b[32:], "little")
-        if x >= Q_MOD or y >= Q_MOD:
-            raise ProofError("non-canonical point coordinate")
-        p = AffinePoint(x, y)
-        if not p.on_curve():
-            raise ProofError("point not on curve")
-        return p
+        return _point_from_bytes(b)
 
     def read_scalar(self) -> int:
         b = self._take(32)

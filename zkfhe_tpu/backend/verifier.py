@@ -1,8 +1,8 @@
 """Proof verification (SURVEY.md §3.4): transcript replay, constraint
-identity at the evaluation point, KZG/GWC pairing check.
+identity at the evaluation point, KZG/SHPLONK pairing check.
 
-Everything runs on HOST (python ints): the heavy step — combining ~500
-commitments with powers of v — is a Jacobian Pippenger (ops/msm.py
+Everything runs on HOST (python ints): the heavy step — combining ~250
+commitments with SHPLONK weights — is a Jacobian Pippenger (ops/msm.py
 msm_host_pippenger). Verification never touches the device: the round-1
 device MSM re-compiled a fresh XLA executable per live-point count,
 costing ~100 s per verify on the remote-compile TPU path (VERDICT
@@ -80,12 +80,19 @@ def _verify(vk: VerifyingKey, proof: bytes, instance: list,
     dom = N.Domain.new(k)
     omega = dom.omega
 
-    # vk G2 points come from an artifact file — validate before pairing
-    # (ADVICE.md round-1 low: g2_on_curve existed but was never called)
+    # vk points come from an artifact file — validate everything before
+    # the MSM/pairing (ADVICE.md round-2 low: the G1 fixed/sigma commits
+    # flowed in unchecked while G2 was validated; G1 cofactor is 1, so
+    # on-curve suffices for subgroup membership)
     for g2pt in (vk.g2_gen, vk.g2_tau):
         if not PR.g2_in_subgroup(g2pt):
             if verbose:
                 print("verify: vk G2 point invalid")
+            return False
+    for g1pt in list(vk.fixed_commits) + list(vk.sigma_commits):
+        if not g1pt.on_curve():
+            if verbose:
+                print("verify: vk G1 commitment not on curve")
             return False
 
     tr = Transcript(proof)
@@ -128,12 +135,10 @@ def _verify(vk: VerifyingKey, proof: bytes, instance: list,
     for name, rot in sched:
         evals[(name, rot)] = tr.read_scalar()
     v_ch = tr.challenge()
-
-    w_commits = []
-    for rot in PROTO.ROTATIONS:
-        if any(r == rot for _, r in sched):
-            w_commits.append((rot, tr.read_point()))
-    u_ch = tr.challenge()
+    y2_ch = tr.challenge()
+    h_commit = tr.read_point()
+    u_pt = tr.challenge()
+    w_commit = tr.read_point()
     tr.assert_consumed()
 
     for i, nm in enumerate(PROTO.fixed_poly_names(shape)):
@@ -156,7 +161,10 @@ def _verify(vk: VerifyingKey, proof: bytes, instance: list,
             print("verify: constraint identity failed at x")
         return False
 
-    # ---- GWC pairing check --------------------------------------------------
+    # ---- SHPLONK pairing check ----------------------------------------------
+    # F = sum_i y2^i Z_{T\S_i}(u) (C_i - [r_i(u)]G) - Z_T(u) H with
+    # C_i = sum_j v^j C_ij; check e(F + u W, g2) = e(W, tau g2). Each
+    # commitment appears ONCE in the MSM (GWC touched each per opening).
     points = {
         0: x % P_MOD,
         1: x * omega % P_MOD,
@@ -164,32 +172,41 @@ def _verify(vk: VerifyingKey, proof: bytes, instance: list,
         3: x * pow(omega, 3, P_MOD) % P_MOD,
         PROTO.ROT_LAST: x * pow(omega, u, P_MOD) % P_MOD,
     }
+    sets = PROTO.rotation_sets(shape)
+    t_vals = []
+    for r in PROTO.ROTATIONS:
+        if any(r in rots for rots, _ in sets) and points[r] not in t_vals:
+            t_vals.append(points[r])
+    z_t = PROTO.vanishing_eval(t_vals, u_pt, P_MOD)
+
     lhs_pts, lhs_scs = [], []
-    rhs_pts, rhs_scs = [], []
-    upow = 1
-    for rot, w_pt in w_commits:
-        group = [(nm, r) for (nm, r) in sched if r == rot]
+    g_scalar = 0
+    for i, (rots, names) in enumerate(sets):
+        pts = [points[r] for r in rots]
+        z_rest = PROTO.vanishing_eval(
+            [t for t in t_vals if t not in pts], u_pt, P_MOD)
+        w = pow(y2_ch, i, P_MOD) * z_rest % P_MOD
         vw = 1
-        e_grp = 0
-        for nm, r in group:
+        fe = [0] * len(rots)
+        for nm in names:
             lhs_pts.append(commits[nm])
-            lhs_scs.append(upow * vw % P_MOD)
-            e_grp = (e_grp + vw * evals[(nm, r)]) % P_MOD
+            lhs_scs.append(w * vw % P_MOD)
+            for j, r in enumerate(rots):
+                fe[j] = (fe[j] + vw * evals[(nm, r)]) % P_MOD
             vw = vw * v_ch % P_MOD
-        # + z_i * W_i - e_i * G
-        lhs_pts.append(w_pt)
-        lhs_scs.append(upow * points[rot] % P_MOD)
-        lhs_pts.append(C.G1_GEN)
-        lhs_scs.append((-upow * e_grp) % P_MOD)
-        rhs_pts.append(w_pt)
-        rhs_scs.append(upow)
-        upow = upow * u_ch % P_MOD
+        g_scalar = (g_scalar
+                    + w * PROTO.lagrange_eval(pts, fe, u_pt, P_MOD)) % P_MOD
+    lhs_pts.append(C.G1_GEN)
+    lhs_scs.append((-g_scalar) % P_MOD)
+    lhs_pts.append(h_commit)
+    lhs_scs.append((-z_t) % P_MOD)
+    lhs_pts.append(w_commit)
+    lhs_scs.append(u_pt % P_MOD)
 
     lhs = _combine_points(lhs_pts, lhs_scs)
-    rhs = _combine_points(rhs_pts, rhs_scs)
     ok = PR.pairing_check([
         (lhs, vk.g2_gen),
-        (rhs.neg(), vk.g2_tau),
+        (w_commit.neg(), vk.g2_tau),
     ])
     if verbose and not ok:
         print("verify: pairing check failed")

@@ -227,7 +227,10 @@ class PolyCells:
 
     @staticmethod
     def load(bld: Builder, vals, max_bits: int, ctx: int = CTX_P0):
-        return PolyCells(bld.load_witness(vals, ctx), max_bits)
+        # max_bits doubles as the static commitment-tier bound
+        # (trace/builder.CellVec.bits)
+        return PolyCells(bld.load_witness(vals, ctx, bits=max_bits),
+                         max_bits)
 
     def to_public(self, bld: Builder):
         bld.expose_public(self.cells)

@@ -36,6 +36,7 @@ class Layout:
     const_vals: dict  # ctx -> (C,) python ints
     challenge_idx: np.ndarray  # CTX_P1 offsets
     instance_refs: list  # (ctx, idx array) in exposure order
+    cell_bits: dict  # ctx -> (size,) int16 static per-cell value bound
 
     @property
     def num_instance(self) -> int:
@@ -90,6 +91,7 @@ def snapshot_layout(bld: Builder) -> Layout:
         const_vals=const_vals,
         challenge_idx=challenge_idx,
         instance_refs=[(cv.ctx, cv.idx) for cv in bld.instance],
+        cell_bits={c: bld.finalize_bits(c) for c in range(NUM_CTX)},
     )
 
 

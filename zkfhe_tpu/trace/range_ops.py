@@ -13,13 +13,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import field as F
-from .builder import Builder, CellVec, CTX_LK, CTX_P1, LOOKUP_BITS
+from .builder import (Builder, CellVec, CTX_LK, CTX_P1, LOOKUP_BITS,
+                      MAX_BITS, _cbits)
 
 
 def _lookup_cell(bld: Builder, values) -> CellVec:
     """Allocate cells in the lookup context holding `values` (L, m)."""
-    idx = bld._alloc(CTX_LK, values)
-    return CellVec(CTX_LK, idx, values)
+    idx = bld._alloc(CTX_LK, values, LOOKUP_BITS)
+    return CellVec(CTX_LK, idx, values, LOOKUP_BITS)
 
 
 def _byte_limb_values(bld: Builder, x: CellVec, k8: int):
@@ -51,13 +52,16 @@ def range_check(bld: Builder, x: CellVec, bits: int):
         starts = bld._region(
             bld._zeros(m), top.val, bld._const_arr(shift, m), shifted_val,
             copies=[(1, top), (3, shifted)], consts=[(0, 0), (2, shift)],
+            bits=(1, rem, _cbits(shift), LOOKUP_BITS),
         )
 
+    xb = min(x.bits, bits)  # x's honest value after this check
     # recomposition chain: acc_j = acc_{j-1} + limb_j * 2^(8j); final == x
     if k8 == 1:
         bld._region(
             bld._zeros(m), limbs[0].val, bld._const_arr(1, m), x.val,
             copies=[(1, limbs[0]), (3, x)], consts=[(0, 0), (2, 1)],
+            bits=(1, LOOKUP_BITS, 1, xb),
         )
         return limbs
 
@@ -65,19 +69,22 @@ def range_check(bld: Builder, x: CellVec, bits: int):
     acc = limbs[0]
     for j in range(1, k8):
         c = 1 << (LOOKUP_BITS * j)
+        ab = LOOKUP_BITS * (j + 1)
         new_val = bld.vadd(acc_val, bld.vmul(bld._const_arr(c, m), limb_vals[j]))
         if j == k8 - 1:
             # last region: D slot is x itself (copy), closing the chain
             bld._region(
                 acc_val, limbs[j].val, bld._const_arr(c, m), x.val,
                 copies=[(0, acc), (1, limbs[j]), (3, x)], consts=[(2, c)],
+                bits=(acc.bits, LOOKUP_BITS, _cbits(c), xb),
             )
         else:
             starts = bld._region(
                 acc_val, limbs[j].val, bld._const_arr(c, m), new_val,
                 copies=[(0, acc), (1, limbs[j])], consts=[(2, c)],
+                bits=(acc.bits, LOOKUP_BITS, _cbits(c), ab),
             )
-            acc = bld._cells_at(CTX_P1, starts, 3, new_val)
+            acc = bld._cells_at(CTX_P1, starts, 3, new_val, ab)
         acc_val = new_val
     return limbs
 
@@ -91,8 +98,9 @@ def check_less_than(bld: Builder, x: CellVec, bound: int, bits: int):
     starts = bld._region(
         bld._const_arr(pad, m), x.val, bld._const_arr(1, m), shifted_val,
         copies=[(1, x)], consts=[(0, pad), (2, 1)],
+        bits=(_cbits(pad), min(x.bits, bits), 1, bits),
     )
-    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val)
+    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val, bits)
     range_check(bld, shifted, bits)
 
 
@@ -117,8 +125,9 @@ def is_less_than(bld: Builder, x: CellVec, bound: int, bits: int) -> CellVec:
     starts = bld._region(
         bld._const_arr(pad, m), x.val, bld._const_arr(1, m), shifted_val,
         copies=[(1, x)], consts=[(0, pad), (2, 1)],
+        bits=(_cbits(pad), min(x.bits, bits), 1, bits + 1),
     )
-    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val)
+    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val, bits + 1)
 
     ind_lane = F.geq(shifted_val, bld._const_arr(1 << bits, m)).astype(
         jnp.uint32
@@ -129,14 +138,15 @@ def is_less_than(bld: Builder, x: CellVec, bound: int, bits: int) -> CellVec:
         F.sub_plain(shifted_val, bld._const_arr(1 << bits, m)),
         shifted_val,
     )
-    ind = bld.load_witness(ind_val, CTX_P1)
-    low = bld.load_witness(low_val, CTX_P1)
+    ind = bld.load_witness(ind_val, CTX_P1, bits=1)
+    low = bld.load_witness(low_val, CTX_P1, bits=bits)
     bld.assert_bool(ind)
     range_check(bld, low, bits)
     # low + ind * 2^bits = shifted
     bld._region(
         low_val, ind_val, bld._const_arr(1 << bits, m), shifted_val,
         copies=[(0, low), (1, ind), (3, shifted)], consts=[(2, 1 << bits)],
+        bits=(bits, 1, bits + 1, bits + 1),
     )
     return bld.not_(ind)
 
@@ -149,15 +159,17 @@ def div_mod(bld: Builder, x: CellVec, modulus: int, num_bits: int):
     Soundness: q*m + r < 2^(num_bits+1) + m << p, so the field equation
     implies the integer equation; bounds make (q, r) unique."""
     m = x.m
+    q_bits = max(num_bits - modulus.bit_length() + 1, 1)
     q_val, r_val = F.divmod_const(x.val, modulus, num_bits)
-    q = bld.load_witness(q_val, CTX_P1)
-    r = bld.load_witness(r_val, CTX_P1)
+    q = bld.load_witness(q_val, CTX_P1, bits=q_bits)
+    r = bld.load_witness(r_val, CTX_P1, bits=modulus.bit_length())
     # r + q * modulus = x
     bld._region(
         r_val, q_val, bld._const_arr(modulus, m), x.val,
         copies=[(0, r), (1, q), (3, x)], consts=[(2, modulus)],
+        bits=(modulus.bit_length(), q_bits, _cbits(modulus),
+              min(x.bits, num_bits)),
     )
-    q_bits = max(num_bits - modulus.bit_length() + 1, 1)
     range_check(bld, q, q_bits)
     check_less_than_safe(bld, r, modulus)
     return q, r

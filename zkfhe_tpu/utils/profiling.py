@@ -38,6 +38,9 @@ class StageTimer:
 
     def _record(self, name, dt):
         self.stages.append((name, dt))
+        # keep the two APIs composable: a stage() must not be double-
+        # counted into the next mark() interval (ADVICE.md round-2 low)
+        self._last = time.time()
         if self.stream is not None:
             print(f"[{self.label}] {name}: {dt:.3f}s", file=self.stream,
                   flush=True)
