@@ -178,15 +178,18 @@ def _main():
         k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
         n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
         suffix = f"k{k}"
+    q = int(os.environ.get("ZKFHE_BENCH_Q", "0"))  # 0 = BfvParams default
+    if q:
+        suffix += f"_q{q.bit_length()}b"
     STATE["suffix"] = suffix
     STATE["cpu_fallback"] = cpu_fallback
 
     try:
         stage("inputs", 600)
-        params = bfv.BfvParams(n=n)
+        params = bfv.BfvParams(n=n, q=q) if q else bfv.BfvParams(n=n)
         t0 = time.time()
         cin_path = os.path.join("data", "bfv", "bfv.in")
-        if n == 1024 and os.path.exists(cin_path):
+        if n == 1024 and not q and os.path.exists(cin_path):
             cin = bfv.CircuitInput.from_json(cin_path)
         else:
             cin = bfv.generate_input(params, seed=1)
@@ -255,6 +258,18 @@ def _main():
             STATE["extras"].update(_kernel_metrics(k, log))
         except Exception:
             log("kernel metrics failed:\n" + traceback.format_exc())
+
+        # large-parameter evidence (BASELINE item 3): scripts/bench_k15.py
+        # runs k=15 / N=2048 / 120-bit-Q keygen->prove->verify and records
+        # data/k15_result.json; surface it here so the round JSON carries
+        # it without risking the headline measurement on its runtime
+        try:
+            k15_path = os.path.join("data", "k15_result.json")
+            if os.path.exists(k15_path):
+                with open(k15_path) as f:
+                    STATE["extras"]["k15"] = json.load(f)
+        except Exception:
+            log("k15 extras failed:\n" + traceback.format_exc())
         signal.alarm(0)
 
         emit({

@@ -130,3 +130,21 @@ def test_larger_params_mock():
     cin = bfv.generate_input(big, seed=9)
     _, _, _, nbad = run_mock(big, cin)
     assert nbad == 0
+
+
+@pytest.mark.slow
+def test_120bit_q_mock():
+    """The k=15 bench configuration's modulus (scripts/bench_k15.py:
+    N=2048, Q=2^120-119) at a CPU-tractable ring size: the widest
+    div_mod/range paths (252-bit products, 133-bit quotients) and their
+    static tier bounds all hold."""
+    big = bfv.BfvParams(n=256, q=(1 << 120) - 119, t=7, b=19)
+    cin = bfv.generate_input(big, seed=12)
+    layout, values, _, nbad = run_mock(big, cin)
+    assert nbad == 0
+    for ctx in range(len(values)):
+        if not values[ctx].shape[1]:
+            continue
+        bits = layout.cell_bits[ctx]
+        dec = F.decode(FR, values[ctx])
+        assert all(v < (1 << int(bits[i])) for i, v in enumerate(dec))

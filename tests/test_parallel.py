@@ -99,8 +99,33 @@ def test_batched_witgen(mesh):
     for i in (0, 5):
         gamma = gammas[i]
         _, v_single, inst_single = TC.run_circuit(circuit, arrs[i], gamma)
-        for ctx in range(3):
+        for ctx in range(len(values)):
             assert np.array_equal(np.asarray(values[ctx][i]),
                                   np.asarray(v_single[ctx])), (i, ctx)
         assert np.array_equal(np.asarray(instance[i]),
                               np.asarray(inst_single))
+
+
+def test_sharded_coset_ntt_matches_single(mesh):
+    """The mesh-sharded four-step coset NTT / inverse NTT (the prover's
+    SP path, prover.coset_batch / quotient finish) are bit-identical to
+    the single-device kernels."""
+    from zkfhe_tpu.backend import prover as PV
+
+    k = 8
+    dom_ext = N.Domain.new(k)
+    K = 3
+    coeffs = [[random.randrange(FR.p) for _ in range(1 << (k - 1))]
+              for _ in range(K)]
+    stack = jnp.stack([jnp.asarray(F.encode(FR, c, mont=True))
+                       for c in coeffs], axis=1)
+    cpow = F.power_series(FR, jnp.asarray(F.encode(FR, [5], mont=True))[:, 0],
+                          1 << k)
+    want = np.asarray(PV._j_coset(dom_ext, stack, cpow))
+    got = np.asarray(S.sharded_coset_ntt(dom_ext, stack, cpow, mesh))
+    assert np.array_equal(got, want)
+
+    evals = jnp.asarray(want)
+    want_i = np.asarray(N.intt(dom_ext, evals))
+    got_i = np.asarray(S.sharded_intt(dom_ext, evals, mesh))
+    assert np.array_equal(got_i, want_i)

@@ -53,7 +53,7 @@ def test_mock_catches_bad_witness():
     # corrupt one phase-1 cell
     v1 = values[B.CTX_P1]
     v1 = v1.at[0, 3].add(1)
-    tampered = (values[0], v1, values[2])
+    tampered = (values[0], v1) + tuple(values[2:])
     res = TC.mock_check(layout, tampered, gamma, verbose=False)
     assert sum(len(v) for v in res.values()) > 0
 
@@ -145,7 +145,7 @@ def test_static_cell_bits_bound_witness():
     gamma = jnp.asarray(F.encode(FR, [987654321]))[:, 0]
     _, values, _ = TC.run_circuit(circ, inputs, gamma)
     TC.assert_satisfied(layout, values, gamma)
-    for ctx in range(3):
+    for ctx in range(B.NUM_CTX):
         if not values[ctx].shape[1]:
             continue
         bits = layout.cell_bits[ctx]

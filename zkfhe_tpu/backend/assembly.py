@@ -28,7 +28,8 @@ from scipy.sparse import coo_matrix
 from scipy.sparse.csgraph import connected_components
 
 from ..ops import field as F
-from ..trace.builder import CTX_LK, CTX_P0, CTX_P1, LOOKUP_BITS, NUM_CTX
+from ..trace.builder import (CTX_LK, CTX_P0, CTX_P1, CTX_WIDE, LOOKUP_BITS,
+                             NUM_CTX)
 from ..trace.compile import Layout
 
 BLINDERS = 8  # random rows per advice column (zk), plus 1 boundary row
@@ -193,9 +194,12 @@ def assemble(layout: Layout, k: int) -> Assembly:
     region_map = {
         CTX_P0: layout.gate_starts[CTX_P0],
         CTX_P1: layout.gate_starts[CTX_P1],
+        CTX_WIDE: layout.gate_starts[CTX_WIDE],
         CTX_LK: np.zeros(0, dtype=np.int64),
     }
-    for ctx in (CTX_P0, CTX_P1, CTX_LK):
+    # column order: phase-0, phase-1 narrow, phase-1 wide, lookup (last —
+    # the prover assumes lookup columns are the num_advice tail)
+    for ctx in (CTX_P0, CTX_P1, CTX_WIDE, CTX_LK):
         size = layout.sizes[ctx]
         cols = _break_context(size, region_map[ctx], u)
         breaks[ctx] = cols
@@ -217,13 +221,13 @@ def assemble(layout: Layout, k: int) -> Assembly:
 
     # static per-column value bounds from the per-cell bounds
     col_bits = np.zeros(num_advice, dtype=np.int16)
-    for ctx in (CTX_P0, CTX_P1, CTX_LK):
+    for ctx in (CTX_P0, CTX_P1, CTX_WIDE, CTX_LK):
         if layout.sizes[ctx]:
             np.maximum.at(col_bits, cell_col[ctx], layout.cell_bits[ctx])
 
     # selectors at region starts
     sel_rows = {}
-    for ctx in (CTX_P0, CTX_P1):
+    for ctx in (CTX_P0, CTX_P1, CTX_WIDE):
         starts = layout.gate_starts[ctx]
         if len(starts) == 0:
             continue
@@ -234,8 +238,8 @@ def assemble(layout: Layout, k: int) -> Assembly:
 
     chal_rows = {}
     if len(layout.challenge_idx):
-        cols = cell_col[CTX_P1][layout.challenge_idx]
-        rows = cell_row[CTX_P1][layout.challenge_idx]
+        cols = cell_col[CTX_WIDE][layout.challenge_idx]
+        rows = cell_row[CTX_WIDE][layout.challenge_idx]
         for c in np.unique(cols):
             chal_rows[int(c)] = np.sort(rows[cols == c])
 

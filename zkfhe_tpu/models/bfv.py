@@ -284,9 +284,15 @@ class PolyCells:
         return remainder.safe_trim_leading_zeroes(bld, cyclo_deg - 1)
 
     def constrain_equality(self, bld, other: "PolyCells"):
-        """is_equal + assert==1 per coefficient (src/poly_chip.rs:255-264)."""
-        eqs = bld.is_equal(self.cells, other.cells)
-        bld.assert_const(eqs, 1)
+        """Per-coefficient equality (src/poly_chip.rs:255-264 semantics).
+
+        The reference spends 2 gates per coefficient (is_equal +
+        assert_is_const); here equality is a COPY CONSTRAINT — the
+        permutation argument enforces it with ZERO advice cells, which
+        also keeps the touched columns narrow for the width-tiered
+        commitment MSM (a single 254-bit is_equal inverse cell forced
+        whole columns to the full-width tier)."""
+        bld.copy(self.cells, other.cells)
 
     def constrain_coefficients_in_range(self, bld, z: int, y: int):
         """coeffs in [0, z] or [y-z, y-1] (src/poly_chip.rs:270-317)."""

@@ -316,8 +316,10 @@ def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R,
 TAB_C = 4
 TAB_M = 1 << (TAB_C - 1)  # multiples 1..8 per (window, point)
 
-# width tiers for the table path: scalar-bit bound -> window count
-TAB_TIERS = (32, 52, 256)
+# width tiers for the table path: scalar-bit bound -> window count.
+# 72 covers the BFV hint columns (68-70-bit products, 57-58-bit sums,
+# SURVEY.md §3.5) at W=19 instead of the full W=65.
+TAB_TIERS = (32, 52, 72, 256)
 
 
 def tab_tier_bits(max_bits: int) -> int:

@@ -20,10 +20,18 @@ Python function over *vectorized* cell handles:
     plookup with a sort-free, TPU-friendly log-derivative argument).
 
 Contexts (flattened to advice columns at assembly time):
-  CTX_P0  — phase 0 advice (committed before the challenge is squeezed)
-  CTX_P1  — phase 1 advice (gates + RLC work, after the challenge)
-  CTX_LK  — phase 1 lookup advice: every cell here is range-checked to
-            [0, 2^LOOKUP_BITS) by the lookup argument
+  CTX_P0   — phase 0 advice (committed before the challenge is squeezed)
+  CTX_P1   — phase 1 advice (gates + RLC work, after the challenge)
+  CTX_LK   — phase 1 lookup advice: every cell here is range-checked to
+             [0, 2^LOOKUP_BITS) by the lookup argument
+  CTX_WIDE — phase 1 advice whose regions contain a cell with a static
+             bound above WIDE_THRESHOLD bits (RLC accumulators, challenge
+             powers, wrap-capable subtractions). Keeping these in their
+             own columns means a single full-width cell never drags an
+             otherwise-narrow column into the full-width commitment-MSM
+             tier: commitment work is sum_cols n*W(col_bits), and the
+             wide cells concentrate into ~a dozen columns instead of
+             polluting ~30.
 """
 from __future__ import annotations
 
@@ -37,9 +45,10 @@ import jax.numpy as jnp
 from ..ops import field as F
 from ..ops.field import FR
 
-CTX_P0, CTX_P1, CTX_LK = 0, 1, 2
-NUM_CTX = 3
+CTX_P0, CTX_P1, CTX_LK, CTX_WIDE = 0, 1, 2, 3
+NUM_CTX = 4
 LOOKUP_BITS = 8
+WIDE_THRESHOLD = 52  # ops/msm.TAB_TIERS mid tier
 
 
 MAX_BITS = 254  # conservative "anything in Fr" bound
@@ -96,9 +105,9 @@ class Builder:
         self.chunks = [[] for _ in range(NUM_CTX)]  # value chunks per ctx
         self.bits_chunks = [[] for _ in range(NUM_CTX)]  # static bit bounds
         self.sizes = [0] * NUM_CTX
-        self.gate_regions = []  # list of np arrays: CTX_P1 4-cell region starts
-        self.gate_regions_p0 = []  # same for phase-0 regions (none typically)
-        self.challenge_cells = []  # np arrays of CTX_P1 offsets pinned to gamma
+        # ctx -> list of np arrays of 4-cell vertical-gate region starts
+        self.gate_regions = {c: [] for c in (CTX_P0, CTX_P1, CTX_WIDE)}
+        self.challenge_cells = []  # np arrays of CTX_WIDE offsets = gamma
         self.copies = []  # (ctx_a, idx_a, ctx_b, idx_b) np arrays
         self.constants = []  # (ctx, idx np.ndarray, value int)
         self.instance = []  # CellVecs exposed as public input, in order
@@ -137,7 +146,10 @@ class Builder:
         (reference: PolyChip::from_poly, src/poly_chip.rs:27-42). bits is
         the caller's static bound on every value (honest-witness claim:
         a wrong bound breaks completeness — the tiered commitment drops
-        high windows — never soundness)."""
+        high windows — never soundness). Wide phase-1 loads route to
+        CTX_WIDE (see module docstring)."""
+        if ctx == CTX_P1 and bits > WIDE_THRESHOLD:
+            ctx = CTX_WIDE
         idx = self._alloc(ctx, values, bits)
         return CellVec(ctx, idx, values, bits)
 
@@ -146,6 +158,8 @@ class Builder:
             F.encode(self.field, [value % self.field.p]), dtype=jnp.uint32
         )
         b = _cbits(value % self.field.p)
+        if ctx == CTX_P1 and b > WIDE_THRESHOLD:
+            ctx = CTX_WIDE
         idx = self._alloc(ctx, arr, b)
         self.constants.append((ctx, idx, value % self.field.p))
         return CellVec(ctx, idx, arr, b)
@@ -166,24 +180,24 @@ class Builder:
         consts: list,  # list of (slot, int) constant-constrained slots
         ctx: int = CTX_P1,
         bits=(MAX_BITS, MAX_BITS, MAX_BITS, MAX_BITS),  # per-slot bound
-    ) -> np.ndarray:
+    ):
         """Allocate m vertical-gate regions [A,B,C,D] with A + B*C = D.
-        Returns (m,) region start indices."""
+        Phase-1 regions containing a slot wider than WIDE_THRESHOLD bits
+        route to CTX_WIDE. Returns (ctx, (m,) region start indices)."""
+        if ctx == CTX_P1 and max(bits) > WIDE_THRESHOLD:
+            ctx = CTX_WIDE
         m = a_val.shape[1]
         vals = jnp.stack([a_val, b_val, c_val, d_val], axis=-1)  # (L,m,4)
         vals = vals.reshape(F.NLIMBS, 4 * m)
         idx = self._alloc(ctx, vals,
                           np.tile(np.asarray(bits, dtype=np.int16), m))
         starts = idx[::4].copy()
-        if ctx == CTX_P1:
-            self.gate_regions.append(starts)
-        else:
-            self.gate_regions_p0.append(starts)
+        self.gate_regions[ctx].append(starts)
         for slot, cv in copies:
             self.copies.append((cv.ctx, cv.idx, ctx, starts + slot))
         for slot, value in consts:
             self.constants.append((ctx, starts + slot, value % self.field.p))
-        return starts
+        return ctx, starts
 
     def _cells_at(self, ctx, starts, slot, values,
                   bits: int = MAX_BITS) -> CellVec:
@@ -217,92 +231,92 @@ class Builder:
         m = x.m
         ob = min(MAX_BITS, max(x.bits, y.bits) + 1)
         out = self.vadd(x.val, y.val)
-        starts = self._region(
+        rctx, starts = self._region(
             x.val, y.val, self._const_arr(1, m), out,
             copies=[(0, x), (1, y)], consts=[(2, 1)],
             bits=(x.bits, y.bits, 1, ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def sub(self, x: CellVec, y: CellVec) -> CellVec:
         """out = x - y (may wrap -> full-width bound). Region [out, y, 1, x]."""
         m = x.m
         out = self.vsub(x.val, y.val)
-        starts = self._region(
+        rctx, starts = self._region(
             out, y.val, self._const_arr(1, m), x.val,
             copies=[(1, y), (3, x)], consts=[(2, 1)],
             bits=(MAX_BITS, y.bits, 1, x.bits),
         )
-        return self._cells_at(CTX_P1, starts, 0, out)
+        return self._cells_at(rctx, starts, 0, out)
 
     def mul(self, x: CellVec, y: CellVec) -> CellVec:
         """out = x * y. Region [0, x, y, x*y]."""
         m = x.m
         ob = min(MAX_BITS, x.bits + y.bits)
         out = self.vmul(x.val, y.val)
-        starts = self._region(
+        rctx, starts = self._region(
             self._zeros(m), x.val, y.val, out,
             copies=[(1, x), (2, y)], consts=[(0, 0)],
             bits=(1, x.bits, y.bits, ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def mul_add(self, x: CellVec, y: CellVec, z: CellVec) -> CellVec:
         """out = z + x*y. Region [z, x, y, out]."""
         ob = min(MAX_BITS, max(z.bits, x.bits + y.bits) + 1)
         out = self.vadd(z.val, self.vmul(x.val, y.val))
-        starts = self._region(
+        rctx, starts = self._region(
             z.val, x.val, y.val, out,
             copies=[(0, z), (1, x), (2, y)], consts=[],
             bits=(z.bits, x.bits, y.bits, ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def add_const(self, x: CellVec, c: int) -> CellVec:
         """out = x + c. Region [x, c, 1, out]."""
         m = x.m
         ob = min(MAX_BITS, max(x.bits, _cbits(c)) + 1)
         out = self.vadd(x.val, self._const_arr(c, m))
-        starts = self._region(
+        rctx, starts = self._region(
             x.val, self._const_arr(c, m), self._const_arr(1, m), out,
             copies=[(0, x)], consts=[(1, c), (2, 1)],
             bits=(x.bits, _cbits(c), 1, ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def sub_const(self, x: CellVec, c: int) -> CellVec:
         """out = x - c (may wrap). Region [out, c, 1, x]."""
         m = x.m
         out = self.vsub(x.val, self._const_arr(c, m))
-        starts = self._region(
+        rctx, starts = self._region(
             out, self._const_arr(c, m), self._const_arr(1, m), x.val,
             copies=[(3, x)], consts=[(1, c), (2, 1)],
             bits=(MAX_BITS, _cbits(c), 1, x.bits),
         )
-        return self._cells_at(CTX_P1, starts, 0, out)
+        return self._cells_at(rctx, starts, 0, out)
 
     def mul_const(self, x: CellVec, c: int) -> CellVec:
         """out = x * c. Region [0, x, c, out]."""
         m = x.m
         ob = min(MAX_BITS, x.bits + _cbits(c))
         out = self.vmul(self._const_arr(c, m), x.val)
-        starts = self._region(
+        rctx, starts = self._region(
             self._zeros(m), x.val, self._const_arr(c, m), out,
             copies=[(1, x)], consts=[(0, 0), (2, c)],
             bits=(1, x.bits, _cbits(c), ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def mul_const_add(self, x: CellVec, c: int, z: CellVec) -> CellVec:
         """out = z + c*x. Region [z, x, c, out]."""
         ob = min(MAX_BITS, max(z.bits, x.bits + _cbits(c)) + 1)
         out = self.vadd(z.val, self.vmul(self._const_arr(c, x.m), x.val))
-        starts = self._region(
+        rctx, starts = self._region(
             z.val, x.val, self._const_arr(c, x.m), out,
             copies=[(0, z), (1, x)], consts=[(2, c)],
             bits=(z.bits, x.bits, _cbits(c), ob),
         )
-        return self._cells_at(CTX_P1, starts, 3, out, ob)
+        return self._cells_at(rctx, starts, 3, out, ob)
 
     def assert_const(self, x: CellVec, c: int):
         """Enforce x == c. Region [x, 0, 0, c]."""
@@ -336,12 +350,12 @@ class Builder:
             zmask[None], self._const_arr(1, m), self._zeros(m)
         )
         # out + diff*iv = 1
-        starts = self._region(
+        rctx, starts = self._region(
             outval, diff.val, iv.val, self._const_arr(1, m),
             copies=[(1, diff), (2, iv)], consts=[(3, 1)],
             bits=(1, MAX_BITS, MAX_BITS, 1),
         )
-        out = self._cells_at(CTX_P1, starts, 0, outval, 1)
+        out = self._cells_at(rctx, starts, 0, outval, 1)
         # 0 + out*diff = 0
         self._region(
             self._zeros(m), outval, diff.val, self._zeros(m),
@@ -354,20 +368,30 @@ class Builder:
         """out = 1 - x (boolean input)."""
         m = x.m
         out = self.vsub(self._const_arr(1, m), x.val)
-        starts = self._region(
+        rctx, starts = self._region(
             out, x.val, self._const_arr(1, m), self._const_arr(1, m),
             copies=[(1, x)], consts=[(2, 1), (3, 1)],
             bits=(1, x.bits, 1, 1),
         )
-        return self._cells_at(CTX_P1, starts, 0, out, 1)
+        return self._cells_at(rctx, starts, 0, out, 1)
 
     def or_(self, x: CellVec, y: CellVec) -> CellVec:
         """out = x + y - x*y (boolean inputs). Two regions:
-        t = x*y ; [t, ...]: out = x + y - t via [out, t, 1, x+y]... we use:
-        s = add(x,y); out = sub(s, t)."""
+        [0, x, y, t] (t = x*y) then [out, x, not_y... ] — we use
+        [out, t, 1, s] with s = x + y: out + t = s, so out = x + y - t.
+        All slots carry tight boolean-ish bounds (a generic sub would
+        mark `out` full-width and pull its column into the 254-bit
+        commitment tier)."""
         t = self.mul(x, y)
         s = self.add(x, y)
-        return self.sub(s, t)
+        m = x.m
+        out = self.vsub(s.val, t.val)
+        rctx, starts = self._region(
+            out, t.val, self._const_arr(1, m), s.val,
+            copies=[(1, t), (3, s)], consts=[(2, 1)],
+            bits=(1, 1, 1, 2),
+        )
+        return self._cells_at(rctx, starts, 0, out, 1)
 
     # -- challenge (gamma) --------------------------------------------------
     def set_challenge(self, gamma_val: jnp.ndarray):
@@ -380,9 +404,9 @@ class Builder:
         plumbing (src/poly_chip.rs:97-104) with an ordinary copyable cell."""
         assert self._gamma is not None, "challenge not set"
         val = self._gamma[:, None]
-        idx = self._alloc(CTX_P1, val)
+        idx = self._alloc(CTX_WIDE, val)
         self.challenge_cells.append(idx)
-        return CellVec(CTX_P1, idx, val)
+        return CellVec(CTX_WIDE, idx, val)
 
     # -- powers / inner products (RLC building blocks) ---------------------
     def powers(self, base: CellVec, count: int) -> CellVec:
@@ -410,21 +434,20 @@ class Builder:
         pv = allv[:, :-1]
         nv = allv[:, 1:]
         gv = jnp.broadcast_to(base.val, (F.NLIMBS, count - 1))
-        starts = self._region(
+        rctx, starts = self._region(
             self._zeros(count - 1), pv, gv, nv,
             copies=[], consts=[(0, 0)],
         )
         # chain copies: slot1 cells == previous slot3 cells (or const 1)
-        first = CellVec(CTX_P1, starts[:1] + 1, allv[:, :1])
-        self.constants.append((CTX_P1, starts[:1] + 1, 1))
+        self.constants.append((rctx, starts[:1] + 1, 1))
         # copy base into every slot-2 cell
         self.copies.append(
-            (base.ctx, np.repeat(base.idx, count - 1), CTX_P1, starts + 2)
+            (base.ctx, np.repeat(base.idx, count - 1), rctx, starts + 2)
         )
         # p_{i+1} (slot 3 of region i) == p cell at slot 1 of region i+1
-        self.copies.append((CTX_P1, starts[:-1] + 3, CTX_P1, starts[1:] + 1))
+        self.copies.append((rctx, starts[:-1] + 3, rctx, starts[1:] + 1))
         idxs = np.concatenate([starts[:1] + 1, starts + 3])
-        return CellVec(CTX_P1, idxs, allv)
+        return CellVec(rctx, idxs, allv)
 
     def inner_product(self, xs: CellVec, ys: CellVec) -> CellVec:
         """out = sum_i xs_i * ys_i with an accumulation chain:
@@ -442,14 +465,14 @@ class Builder:
         )
         accv = jnp.moveaxis(accs[..., 0], 0, -1)  # (L, m) prefix sums
         prev = jnp.concatenate([self._zeros(1), accv[:, :-1]], axis=1)
-        starts = self._region(
+        rctx, starts = self._region(
             prev, xs.val, ys.val, accv,
             copies=[(1, xs), (2, ys)], consts=[],
         )
-        self.constants.append((CTX_P1, starts[:1], 0))
+        self.constants.append((rctx, starts[:1], 0))
         # acc chaining: slot0 of region i+1 == slot3 of region i
-        self.copies.append((CTX_P1, starts[:-1] + 3, CTX_P1, starts[1:]))
-        return CellVec(CTX_P1, starts[-1:] + 3, accv[:, -1:])
+        self.copies.append((rctx, starts[:-1] + 3, rctx, starts[1:]))
+        return CellVec(rctx, starts[-1:] + 3, accv[:, -1:])
 
     def rlc_eval(self, cells: CellVec, gamma_powers: CellVec) -> CellVec:
         """Evaluate a degree-descending coefficient vector at gamma:

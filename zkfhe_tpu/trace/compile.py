@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import field as F
-from .builder import Builder, CTX_LK, CTX_P0, CTX_P1, LOOKUP_BITS, NUM_CTX
+from .builder import (Builder, CTX_LK, CTX_P0, CTX_P1, CTX_WIDE,
+                      LOOKUP_BITS, NUM_CTX)
 
 
 @dataclasses.dataclass
@@ -34,7 +35,7 @@ class Layout:
     copies: list  # (ctx_a, idx_a, ctx_b, idx_b)
     const_idx: dict  # ctx -> (C,) int64
     const_vals: dict  # ctx -> (C,) python ints
-    challenge_idx: np.ndarray  # CTX_P1 offsets
+    challenge_idx: np.ndarray  # CTX_WIDE offsets
     instance_refs: list  # (ctx, idx array) in exposure order
     cell_bits: dict  # ctx -> (size,) int16 static per-cell value bound
 
@@ -45,16 +46,9 @@ class Layout:
 
 def snapshot_layout(bld: Builder) -> Layout:
     gate_starts = {
-        CTX_P0: (
-            np.concatenate(bld.gate_regions_p0)
-            if bld.gate_regions_p0
-            else np.zeros(0, dtype=np.int64)
-        ),
-        CTX_P1: (
-            np.concatenate(bld.gate_regions)
-            if bld.gate_regions
-            else np.zeros(0, dtype=np.int64)
-        ),
+        ctx: (np.concatenate(regions) if regions
+              else np.zeros(0, dtype=np.int64))
+        for ctx, regions in bld.gate_regions.items()
     }
     const_idx = {c: [] for c in range(NUM_CTX)}
     const_vals = {c: [] for c in range(NUM_CTX)}
@@ -172,7 +166,7 @@ def mock_check(layout: Layout, values, gamma, verbose: bool = True) -> dict:
         lhs = F.add(fld, A, bc)
         return np.asarray(~F.eq(lhs, D))
 
-    for ctx in (CTX_P0, CTX_P1):
+    for ctx in (CTX_P0, CTX_P1, CTX_WIDE):
         bad = gate_res(values[ctx], layout.gate_starts[ctx])
         out[f"gate_ctx{ctx}"] = np.nonzero(bad)[0]
 
@@ -202,7 +196,7 @@ def mock_check(layout: Layout, values, gamma, verbose: bool = True) -> dict:
     )
 
     if len(layout.challenge_idx):
-        got = values[CTX_P1][:, jnp.asarray(layout.challenge_idx)]
+        got = values[CTX_WIDE][:, jnp.asarray(layout.challenge_idx)]
         want = jnp.broadcast_to(gamma[:, None], got.shape)
         out["challenge"] = np.nonzero(np.asarray(~F.eq(got, want)))[0]
     else:

@@ -49,7 +49,7 @@ def range_check(bld: Builder, x: CellVec, bits: int):
         shifted_val = bld.vmul(bld._const_arr(shift, m), top.val)
         shifted = _lookup_cell(bld, shifted_val)
         # region [0, top, shift, shifted]
-        starts = bld._region(
+        rctx, starts = bld._region(
             bld._zeros(m), top.val, bld._const_arr(shift, m), shifted_val,
             copies=[(1, top), (3, shifted)], consts=[(0, 0), (2, shift)],
             bits=(1, rem, _cbits(shift), LOOKUP_BITS),
@@ -79,12 +79,12 @@ def range_check(bld: Builder, x: CellVec, bits: int):
                 bits=(acc.bits, LOOKUP_BITS, _cbits(c), xb),
             )
         else:
-            starts = bld._region(
+            rctx, starts = bld._region(
                 acc_val, limbs[j].val, bld._const_arr(c, m), new_val,
                 copies=[(0, acc), (1, limbs[j])], consts=[(2, c)],
                 bits=(acc.bits, LOOKUP_BITS, _cbits(c), ab),
             )
-            acc = bld._cells_at(CTX_P1, starts, 3, new_val, ab)
+            acc = bld._cells_at(rctx, starts, 3, new_val, ab)
         acc_val = new_val
     return limbs
 
@@ -95,12 +95,12 @@ def check_less_than(bld: Builder, x: CellVec, bound: int, bits: int):
     m = x.m
     pad = (1 << bits) - bound
     shifted_val = bld.vadd(x.val, bld._const_arr(pad, m))
-    starts = bld._region(
+    rctx, starts = bld._region(
         bld._const_arr(pad, m), x.val, bld._const_arr(1, m), shifted_val,
         copies=[(1, x)], consts=[(0, pad), (2, 1)],
         bits=(_cbits(pad), min(x.bits, bits), 1, bits),
     )
-    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val, bits)
+    shifted = bld._cells_at(rctx, starts, 3, shifted_val, bits)
     range_check(bld, shifted, bits)
 
 
@@ -122,12 +122,12 @@ def is_less_than(bld: Builder, x: CellVec, bound: int, bits: int) -> CellVec:
     m = x.m
     pad = (1 << bits) - bound
     shifted_val = bld.vadd(x.val, bld._const_arr(pad, m))
-    starts = bld._region(
+    rctx, starts = bld._region(
         bld._const_arr(pad, m), x.val, bld._const_arr(1, m), shifted_val,
         copies=[(1, x)], consts=[(0, pad), (2, 1)],
         bits=(_cbits(pad), min(x.bits, bits), 1, bits + 1),
     )
-    shifted = bld._cells_at(CTX_P1, starts, 3, shifted_val, bits + 1)
+    shifted = bld._cells_at(rctx, starts, 3, shifted_val, bits + 1)
 
     ind_lane = F.geq(shifted_val, bld._const_arr(1 << bits, m)).astype(
         jnp.uint32
