@@ -132,19 +132,43 @@ def _main():
     signal.signal(signal.SIGALRM, _on_alarm)
 
     # ---- backend init (the exact line that killed BENCH_r02) -------------
-    stage("backend_init", 240)
-    import jax
+    # Probe the backend in a SUBPROCESS first: a down axon worker can make
+    # jax.devices() hang forever rather than raise (observed 2026-08-18),
+    # and an in-process hang would leave only the watchdog's failure JSON
+    # instead of a CPU-fallback data point.
+    stage("backend_probe", 220)
+    import subprocess
     cpu_fallback = False
     try:
-        devs = jax.devices()
-        log("devices:", devs)
-    except Exception:
-        log("backend init failed, falling back to CPU:\n"
-            + traceback.format_exc())
-        jax.config.update("jax_platforms", "cpu")
-        devs = jax.devices()
-        log("cpu devices:", devs)
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "print(jax.devices());"
+             "print(np.asarray(jnp.arange(4) + 1))"],
+            timeout=180, capture_output=True, text=True)
+        log("probe rc:", probe.returncode, probe.stdout.strip()[-200:],
+            probe.stderr.strip()[-300:])
+        if probe.returncode != 0 or "[2 3 4 5]" not in probe.stdout:
+            cpu_fallback = True
+    except subprocess.TimeoutExpired:
+        log("backend probe HUNG (>180s) — falling back to CPU")
         cpu_fallback = True
+
+    stage("backend_init", 240)
+    import jax
+    if cpu_fallback:
+        jax.config.update("jax_platforms", "cpu")
+        log("cpu devices:", jax.devices())
+    else:
+        try:
+            devs = jax.devices()
+            log("devices:", devs)
+        except Exception:
+            log("backend init failed, falling back to CPU:\n"
+                + traceback.format_exc())
+            jax.config.update("jax_platforms", "cpu")
+            log("cpu devices:", jax.devices())
+            cpu_fallback = True
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/zkfhe_jax"))
@@ -259,17 +283,19 @@ def _main():
         except Exception:
             log("kernel metrics failed:\n" + traceback.format_exc())
 
-        # large-parameter evidence (BASELINE item 3): scripts/bench_k15.py
-        # runs k=15 / N=2048 / 120-bit-Q keygen->prove->verify and records
-        # data/k15_result.json; surface it here so the round JSON carries
-        # it without risking the headline measurement on its runtime
-        try:
-            k15_path = os.path.join("data", "k15_result.json")
-            if os.path.exists(k15_path):
-                with open(k15_path) as f:
-                    STATE["extras"]["k15"] = json.load(f)
-        except Exception:
-            log("k15 extras failed:\n" + traceback.format_exc())
+        # evidence produced by the manual runners (scripts/bench_k15.py:
+        # k=15 / N=2048 / 120-bit-Q e2e; scripts/bench_batch.py: vmapped
+        # batch-proving throughput) — surfaced here so the round JSON
+        # carries it without risking the headline measurement on their
+        # (compile-heavy) runtimes
+        for name in ("k15", "batch"):
+            try:
+                path = os.path.join("data", f"{name}_result.json")
+                if os.path.exists(path):
+                    with open(path) as f:
+                        STATE["extras"][name] = json.load(f)
+            except Exception:
+                log(f"{name} extras failed:\n" + traceback.format_exc())
         signal.alarm(0)
 
         emit({

@@ -164,6 +164,22 @@ class Builder:
         self.constants.append((ctx, idx, value % self.field.p))
         return CellVec(ctx, idx, arr, b)
 
+    def load_constants(self, values, ctx: int = CTX_P1) -> CellVec:
+        """Vectorized load_constant: one constant-constrained cell per
+        entry of `values` (python ints). Grouped by distinct value so the
+        layout records O(#distinct) constant entries, not O(m)."""
+        vals = [int(v) % self.field.p for v in values]
+        arr = jnp.asarray(F.encode(self.field, vals), dtype=jnp.uint32)
+        bits = np.asarray([_cbits(v) for v in vals], dtype=np.int16)
+        b = int(bits.max()) if len(vals) else 1
+        if ctx == CTX_P1 and b > WIDE_THRESHOLD:
+            ctx = CTX_WIDE
+        idx = self._alloc(ctx, arr, bits)
+        vnp = np.asarray(vals, dtype=object)
+        for v in sorted(set(vals)):
+            self.constants.append((ctx, idx[vnp == v], v))
+        return CellVec(ctx, idx, arr, b)
+
     def expose_public(self, cells: CellVec):
         """reference: PolyChip::to_public, src/poly_chip.rs:58-62."""
         self.instance.append(cells)
