@@ -15,6 +15,7 @@ from ..ops import curve as C
 from ..ops import msm as M
 from ..ops import ntt as N
 from ..ops.field import FR
+from .. import native as NAT
 from . import pairing as PR
 from . import protocol as PROTO
 from .assembly import LOOKUP_GROUP, PERM_CHUNK
@@ -25,8 +26,21 @@ P_MOD = FR.p
 
 
 def _combine_points(points, scalars):
-    """sum_i scalars[i] * points[i], host-side."""
+    """sum_i scalars[i] * points[i], host-side: native C++ Pippenger
+    (native/zkfhe_native.cc) when available, python fallback otherwise
+    (ZKFHE_NATIVE=0 forces the fallback; tests assert identity)."""
+    out = NAT.msm(points, scalars)
+    if out is not None:
+        return out
     return M.msm_host_pippenger(points, scalars)
+
+
+def _pairing_check(pairs) -> bool:
+    """Native multi-Miller pairing check with python fallback."""
+    out = NAT.pairing_check(pairs)
+    if out is not None:
+        return out
+    return PR.pairing_check(pairs)
 
 
 def instance_eval(instance: list, x: int, k: int) -> int:
@@ -204,7 +218,7 @@ def _verify(vk: VerifyingKey, proof: bytes, instance: list,
     lhs_scs.append(u_pt % P_MOD)
 
     lhs = _combine_points(lhs_pts, lhs_scs)
-    ok = PR.pairing_check([
+    ok = _pairing_check([
         (lhs, vk.g2_gen),
         (w_commit.neg(), vk.g2_tau),
     ])
