@@ -144,7 +144,7 @@ def _main():
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp, numpy as np;"
              "print(jax.devices());"
-             "print(np.asarray(jnp.arange(4) + 1))"],
+             "print(np.asarray(jnp.arange(4) + 2))"],
             timeout=180, capture_output=True, text=True)
         log("probe rc:", probe.returncode, probe.stdout.strip()[-200:],
             probe.stderr.strip()[-300:])

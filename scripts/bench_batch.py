@@ -73,12 +73,28 @@ def main():
     ok = VF.verify(pk.vk, proofs[-1], F.decode(F.FR, inst1))
     assert ok, "batch proof failed verification"
 
+    # pipeline-parallel axis (parallel/pipeline.prove_stream): depth-2
+    # round-robin of prove generators — overlaps one proof's transcript
+    # hashing/transfers with the next proof's device stages
+    from zkfhe_tpu.parallel.pipeline import prove_stream
+    PB = min(4, B)
+    t0 = time.time()
+    pproofs = prove_stream(pk, srs, circuit, inputs_list[:PB],
+                           rng_seeds=seeds[:PB], depth=2)
+    pipe_s = time.time() - t0
+    log(f"pipeline depth=2 (B={PB}): {pipe_s:.2f}s "
+        f"= {pipe_s / PB:.2f}s/proof vs serial {serial_s:.2f}s")
+    assert pproofs[0] == proof_serial, "pipeline[0] != serial bytes"
+
     result = {
         "B": B, "k": k, "n": n,
         "serial_prove_s": round(serial_s, 2),
         "batch_prove_s": round(batch_s, 2),
         "batch_per_proof_s": round(batch_s / B, 3),
         "speedup_vs_serial": round(serial_s * B / batch_s, 2),
+        "pipeline_B": PB,
+        "pipeline_per_proof_s": round(pipe_s / PB, 3),
+        "pipeline_speedup_vs_serial": round(serial_s * PB / pipe_s, 2),
         "byte_identical_to_serial": True,
         "verified": True,
     }

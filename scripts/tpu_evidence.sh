@@ -17,7 +17,7 @@ log "waiting for TPU..."
 while true; do
   out=$(timeout 180 python -c "
 import jax, numpy as np, jax.numpy as jnp
-print(np.asarray(jnp.arange(4)+1))" 2>&1 | tail -1)
+print(np.asarray(jnp.arange(4)+2))" 2>&1 | tail -1)
   if echo "$out" | grep -q '\[2 3 4 5\]'; then log "TPU ALIVE"; break; fi
   log "probe: $out"
   sleep 300

@@ -101,6 +101,26 @@ def test_prove_batch(setup):
     assert VF.verify(pk.vk, proofs[1], F.decode(FR, instance2))
 
 
+def test_prove_stream(setup):
+    """The pipeline-parallel prover (parallel/pipeline.py: a depth-2
+    round-robin over prover._prove_gen generators, overlapping one
+    proof's commit MSMs/transcript hashing with the next proof's device
+    stages) is a pure scheduling change: proof bytes are identical to
+    serial prove() with the same rng seeds, and all proofs verify."""
+    from zkfhe_tpu.parallel.pipeline import prove_stream
+    inputs, srs, pk, proof_serial, inst = setup
+    inputs2 = make_inputs([8, 10, 12], [14, 16, 18])
+    proofs = prove_stream(pk, srs, circuit, [inputs, inputs2],
+                          rng_seeds=[b"test-seed", b"s2"], depth=2)
+    assert len(proofs) == 2 and proofs[0] != proofs[1]
+    # proof 0 reuses the setup fixture's seed: must match serial bytes
+    assert proofs[0] == proof_serial
+    assert VF.verify(pk.vk, proofs[0], inst)
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, _, instance2 = TC.run_circuit(circuit, inputs2, gamma0)
+    assert VF.verify(pk.vk, proofs[1], F.decode(FR, instance2))
+
+
 def test_commit_lagrange_matches_coefficient(setup):
     """Evaluation-form (Lagrange-basis, width-tiered) commitment produces
     the same group elements as coefficient-form commitment."""

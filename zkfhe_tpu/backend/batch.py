@@ -72,6 +72,24 @@ def _batched_witgen(circuit_fn):
     return _batched_witgen_cache[circuit_fn]
 
 
+_batched_witgen_p0_cache: dict = {}
+
+
+def _batched_witgen_p0(circuit_fn):
+    """Pruned phase-0 pass (mirrors trace/compile.make_witgen_p0): only
+    the CTX_P0 trace + instance leave the executable, so XLA drops every
+    gamma-dependent and lookup-decomposition computation from pass 1."""
+    if circuit_fn not in _batched_witgen_p0_cache:
+        def single(inputs):
+            gamma = jnp.zeros((L,), dtype=jnp.uint32)
+            _, values, instance = run_circuit(circuit_fn, inputs, gamma)
+            return values[CTX_P0], instance
+
+        _batched_witgen_p0_cache[circuit_fn] = jax.jit(
+            jax.vmap(single, in_axes=(0,)))
+    return _batched_witgen_p0_cache[circuit_fn]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _j_lookup_counts(nlk_u, n, lk_row):
     """(size,) byte values -> (L, n) standard-form multiplicity column
@@ -160,9 +178,8 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     batched_inputs = jax.tree.map(
         lambda *xs: jnp.stack(xs), *inputs_list)
 
-    # ---- phase 0 -----------------------------------------------------------
-    zero_gammas = jnp.zeros((B, L), dtype=jnp.uint32)
-    values0, instances = witgen_b(batched_inputs, zero_gammas)
+    # ---- phase 0 (pruned: CTX_P0 + instance only) ---------------------------
+    values0_p0, instances = _batched_witgen_p0(circuit_fn)(batched_inputs)
     inst_np = np.asarray(instances)  # ONE transfer for all proofs
     inst_ints = [F.decode(FR, inst_np[i]) for i in range(B)]
     for i, tr in enumerate(trs):
@@ -179,12 +196,18 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
         jnp.asarray(PV._rand_field_rows(rngs[i], asm.num_advice, n - u))
         for i in range(B)])
 
+    p0 = asm.num_p0_cols
     vm_advice = _vm(("advice", dom, asm.num_advice, n, u),
                     functools.partial(PV._j_advice, dom, asm.num_advice,
                                       n, u),
                     (0, None, 0))
-    adv, adv_coeffs = vm_advice(values0, scatter_idx, blind)
-    p0 = asm.num_p0_cols
+    adv_p0 = None
+    if p0:
+        vm_advice_p0 = _vm(("advice_p0", p0, n, u),
+                           functools.partial(PV._j_advice_p0, p0, n, u),
+                           (0, None, 0))
+        adv_p0 = vm_advice_p0(values0_p0, scatter_idx[CTX_P0],
+                              blind[:, :, :p0])
 
     committer = make_committer(srs, n, u)
     assert committer is not None, \
@@ -208,8 +231,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
         return [pts[b * K:(b + 1) * K] for b in range(B)]
 
     if p0:
-        for i, pts in enumerate(commit_batch(adv[:, :, :p0],
-                                             asm.col_bits[:p0])):
+        for i, pts in enumerate(commit_batch(adv_p0, asm.col_bits[:p0])):
             for pt in pts:
                 trs[i].write_point(pt)
     _timer.mark("phase0_commit")
@@ -222,7 +244,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     values1, instances1 = witgen_b(batched_inputs, gammas_std)
     assert bool(jnp.array_equal(instances, instances1)), \
         "instance values depend on the challenge"
-    assert bool(jnp.array_equal(values0[CTX_P0], values1[CTX_P0])), \
+    assert bool(jnp.array_equal(values0_p0, values1[CTX_P0])), \
         "phase-0 advice values depend on the challenge"
     _timer.mark("witgen1")
     adv, adv_coeffs = vm_advice(values1, scatter_idx, blind)

@@ -160,7 +160,7 @@ class Committer:
         return C.decode_points((out[0], out[1], out[2]))
 
     def commit_values(self, vals_mont, split_tail: bool = True,
-                      col_bits=None):
+                      col_bits=None, sync: bool = True):
         """(L, K, n) Montgomery evaluation-form columns -> K commitments.
 
         split_tail: rows [0, u) are width-tiered per column; rows [u, n)
@@ -170,10 +170,15 @@ class Committer:
         without it (or with ZKFHE_MSM_MEASURED=1) widths are measured
         from the values — fine for public/static columns, a timing side
         channel for witness columns.
+        sync=False: the MSMs are DISPATCHED but the device->host decode
+        is deferred — returns a zero-arg closure yielding the point list.
+        This is the pipeline-parallel hook (parallel/pipeline.py): the
+        caller can enqueue another proof's device stages before paying
+        this commit's transfer + decode.
         """
         L_, K, n = vals_mont.shape
         if K == 0:
-            return []
+            return [] if sync else (lambda: [])
         assert n == self.n
         std = F.from_mont(FR, vals_mont)
         if not split_tail:
@@ -183,6 +188,8 @@ class Committer:
                 parts.append(self._msm(std[:, s:s + FULL_BATCH], 256, 0,
                                        FULL_BATCH)[:, :, :w])
             jac = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 2)
+            if not sync:
+                return lambda: self._decode(jac)[:K]
             return self._decode(jac)[:K]
         u = self.u
         main = std[:, :, :u]
@@ -214,15 +221,19 @@ class Committer:
         jac_main = jnp.take(jac_main, jnp.asarray(inv), axis=2)
         kpad = next((c for c in TAIL_KS if c >= K), -(-K // 64) * 64)
         tail = self._msm(std[:, :, u:], 256, u, kpad)[:, :, :K]
-        return self._decode(_j_stacked_add(jac_main, tail))
+        jac = _j_stacked_add(jac_main, tail)
+        if not sync:
+            return lambda: self._decode(jac)
+        return self._decode(jac)
 
-    def commit_coeffs(self, coeffs_mont, dom):
+    def commit_coeffs(self, coeffs_mont, dom, sync: bool = True):
         """(L, K, n) Montgomery coefficient-form columns -> commitments
         (NTT to evaluation form, then the Lagrange-basis table MSM:
         [f(tau)]G1 = sum_j f(w^j) [L_j(tau)]G1 for deg f < n)."""
         if coeffs_mont.shape[1] == 0:
-            return []
-        return self.commit_values(N.ntt(dom, coeffs_mont), split_tail=False)
+            return [] if sync else (lambda: [])
+        return self.commit_values(N.ntt(dom, coeffs_mont),
+                                  split_tail=False, sync=sync)
 
 
 def make_committer(srs: "SRS.SRS", n: int, u: int, mesh=None,

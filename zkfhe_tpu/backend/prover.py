@@ -36,7 +36,7 @@ from ..ops import msm as M
 from ..ops import ntt as N
 from ..ops.field import FR
 from ..trace.builder import CTX_LK, CTX_P0, CTX_P1, LOOKUP_BITS, NUM_CTX
-from ..trace.compile import make_witgen
+from ..trace.compile import make_witgen, make_witgen_p0
 from . import protocol as PROTO
 from .assembly import EXT_FACTOR, LOOKUP_GROUP, PERM_CHUNK
 from .keygen import (ProvingKey, commit_columns, commit_columns_lagrange,
@@ -405,6 +405,19 @@ def _j_combine(coeffs_stack, vpows):
     return F.tree_sum_mod(FR, t, axis=1)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _j_advice_p0(p0, n, u, values_p0, idx_p0, blind_p0):
+    """Phase-0-only advice EVALUATIONS: scatter just the CTX_P0 cells
+    (assembly places them in columns [0, p0)), convert to Montgomery and
+    append the blinding rows — no iNTT (the table committer consumes
+    Lagrange values; coefficients are only ever needed after witgen1)."""
+    flat = jnp.zeros((L, p0 * n), dtype=jnp.uint32)
+    if values_p0.shape[1]:
+        flat = flat.at[:, idx_p0].set(values_p0)
+    adv = F.to_mont(FR, flat.reshape(L, p0, n))
+    return jnp.concatenate([adv[:, :, :u], blind_p0], axis=2)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _j_advice(dom, num_advice, n, u, values, scatter_idx, blind):
     """Scatter trace cells into the (L, A, n) advice matrix, convert to
@@ -522,6 +535,29 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     shard the term axis (sharded_term_batch), partial results combining
     over ICI collectives. The proof bytes are identical to the
     single-device path (exact field arithmetic, layout-only change)."""
+    gen = _prove_gen(pk, srs, circuit_fn, inputs, rng_seed=rng_seed,
+                     debug=debug, mesh=mesh, mesh_axis=mesh_axis)
+    try:
+        while True:
+            next(gen)
+    except StopIteration as e:
+        return e.value
+
+
+def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
+               rng_seed: bytes | None = None, debug: bool = False,
+               mesh=None, mesh_axis: str = "chips",
+               coset_cache_mb: int | None = None):
+    """Generator form of prove(): yields at every device-dispatch /
+    host-sync boundary — each pause point has already ENQUEUED its device
+    work (MSMs, NTTs, term batches) but not yet paid the device->host
+    transfer or the transcript hashing that follows it. A scheduler
+    advancing several of these round-robin (parallel/pipeline.py
+    prove_stream) therefore overlaps proof i's host-side transcript work
+    with proof i+1's device compute — the SURVEY.md §2.3
+    pipeline-parallel axis (phase pipeline). Driven to completion by
+    prove() for the single-proof path; proof bytes are identical either
+    way (the yield points change scheduling only, never math)."""
     asm = pk.asm
     k, n, u = asm.k, asm.n, asm.u
     dom = N.Domain.new(k)
@@ -547,8 +583,11 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     witgen = make_witgen(circuit_fn)
 
     # ---- phase 0 -----------------------------------------------------------
-    zero_gamma = jnp.zeros((L,), dtype=jnp.uint32)
-    values0, instance = witgen(inputs, zero_gamma)
+    # pruned first pass: only the CTX_P0 trace + the instance are
+    # computed (XLA DCEs the rest of the circuit), and only the p0
+    # columns are scattered — no full-width advice iNTT before gamma
+    values0_p0, instance = make_witgen_p0(circuit_fn)(inputs)
+    yield  # witgen dispatched; decode below blocks on it
     inst_ints = F.decode(FR, instance)
     for v in inst_ints:
         tr.common_scalar(v)
@@ -560,10 +599,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         for ctx in range(NUM_CTX)
     )
     blind = jnp.asarray(_rand_field_rows(rng, asm.num_advice, n - u))
-
-    adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values0,
-                                scatter_idx, blind)
     p0 = asm.num_p0_cols
+    adv_p0 = (_j_advice_p0(p0, n, u, values0_p0, scatter_idx[CTX_P0],
+                           blind[:, :p0]) if p0 else None)
 
     committer = make_committer(srs, n, u, mesh=mesh, mesh_axis=mesh_axis)
 
@@ -592,8 +630,34 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             return committer.commit_coeffs(coeffs, dom)
         return commit_columns(srs, coeffs)
 
-    commits_p0 = commit_evals(adv[:, :p0], asm.col_bits[:p0]) if p0 else []
-    for pt in commits_p0:
+    # async variants: dispatch the MSMs now, defer the transfer+decode to
+    # the returned closure — the generator yields between the two so a
+    # pipeline scheduler can enqueue another proof's device stages. The
+    # non-table fallbacks (A/B knobs) just run eagerly.
+    def commit_evals_async(evals, col_bits=None):
+        if committer is not None:
+            return committer.commit_values(evals, col_bits=col_bits,
+                                           sync=False)
+        pts = commit_evals(evals, col_bits)
+        return lambda: pts
+
+    def commit_vals_async(vals):
+        if committer is not None:
+            return committer.commit_values(vals, split_tail=False,
+                                           sync=False)
+        pts = commit_vals(vals)
+        return lambda: pts
+
+    def commit_coeffs_async(coeffs):
+        if committer is not None:
+            return committer.commit_coeffs(coeffs, dom, sync=False)
+        pts = commit_coeffs(coeffs)
+        return lambda: pts
+
+    fin_p0 = (commit_evals_async(adv_p0, asm.col_bits[:p0]) if p0
+              else (lambda: []))
+    yield  # phase-0 commit MSMs dispatched
+    for pt in fin_p0():
         tr.write_point(pt)
 
     _log("phase-0 committed")
@@ -604,21 +668,23 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     values1, instance1 = witgen(
         inputs, jnp.asarray(F.encode(FR, [gamma]))[:, 0])
     # instance cells must be challenge-independent (they are absorbed into
-    # the transcript before gamma)
-    assert bool(jnp.array_equal(instance, instance1)), \
-        "instance values depend on the challenge"
-    # ... and so must every phase-0 ADVICE cell: the phase-0 commitment
-    # was produced from run 1's values, while evaluations use run 2's —
-    # any gamma-dependence here would silently yield an invalid proof
-    # (VERDICT round-1 weak #7). Device-side compare: the host transfer
-    # of both trace buffers cost ~220MB per proof.
-    assert bool(jnp.array_equal(values0[CTX_P0], values1[CTX_P0])), \
-        "phase-0 advice values depend on the challenge"
-    _timer.mark("witgen1")
+    # the transcript before gamma); every phase-0 ADVICE cell too: the
+    # phase-0 commitment was produced from run 1's values, while
+    # evaluations use run 2's — any gamma-dependence here would silently
+    # yield an invalid proof (VERDICT round-1 weak #7). Device-side
+    # compare: the host transfer of both trace buffers cost ~220MB per
+    # proof. Both equality reductions are dispatched, then checked after
+    # the yield.
+    eq_inst = jnp.array_equal(instance, instance1)
+    eq_p0 = jnp.array_equal(values0_p0, values1[CTX_P0])
     adv, adv_coeffs = _j_advice(dom, asm.num_advice, n, u, values1,
                                 scatter_idx, blind)
-    commits_p1 = commit_evals(adv[:, p0:], asm.col_bits[p0:])
-    for pt in commits_p1:
+    fin_p1 = commit_evals_async(adv[:, p0:], asm.col_bits[p0:])
+    yield  # witgen1 + phase-1 commit MSMs dispatched
+    assert bool(eq_inst), "instance values depend on the challenge"
+    assert bool(eq_p0), "phase-0 advice values depend on the challenge"
+    _timer.mark("witgen1")
+    for pt in fin_p1():
         tr.write_point(pt)
 
     polys = PolyStore()
@@ -657,8 +723,10 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
         polys["lookup_m"] = N.intt(dom, m_vals)
         # multiplicity counts are bounded by the number of looked-up cells
-        for pt in commit_evals(m_vals[:, None],
-                               np.asarray([(nlk * u).bit_length()])):
+        fin_m = commit_evals_async(m_vals[:, None],
+                                   np.asarray([(nlk * u).bit_length()]))
+        yield  # multiplicity commit dispatched
+        for pt in fin_m():
             tr.write_point(pt)
 
     _log("phase-1 + multiplicities committed")
@@ -679,7 +747,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         polys["lookup_phi"] = phi_coeffs
         aux_vals = jnp.concatenate(
             [h_all, g_vals[:, None], phi_vals[:, None]], axis=1)
-        for pt in commit_vals(aux_vals):
+        fin_aux = commit_vals_async(aux_vals)
+        yield  # lookup-helper commits dispatched
+        for pt in fin_aux():
             tr.write_point(pt)
 
     _log("lookup helpers committed")
@@ -706,18 +776,20 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
         jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
     )
+    fin_z = commit_vals_async(z_lag)
+    rand_coeffs = jnp.asarray(_rand_field_rows(rng, 1, n)[:, 0])
+    polys["random"] = rand_coeffs
+    fin_rand = commit_coeffs_async(rand_coeffs[:, None])
+    yield  # grand-product + random commits dispatched
     jax.block_until_ready(z_lag)
     _timer.mark("perm_z")
     del perm_vals  # large Lagrange buffer no longer needed
     if not debug:
         del adv  # kept only for the debug on-domain term check below
     polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
-    for pt in commit_vals(z_lag):
+    for pt in fin_z():
         tr.write_point(pt)
-
-    rand_coeffs = jnp.asarray(_rand_field_rows(rng, 1, n)[:, 0])
-    polys["random"] = rand_coeffs
-    for pt in commit_coeffs(rand_coeffs[:, None]):
+    for pt in fin_rand():
         tr.write_point(pt)
 
     _log("permutation products + random committed")
@@ -773,9 +845,11 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     cos_cache = {}
     # residency budget: one entry is L*ext_n*4 bytes (5.2 MB at k=13);
     # past the cap, cosets are computed but not retained (k>=15 would
-    # otherwise hold ~15 GB of cosets)
-    cos_budget = int(os.environ.get("ZKFHE_COSET_CACHE_MB", "6000")) \
-        * (1 << 20) // (L * ext_n * 4)
+    # otherwise hold ~15 GB of cosets). prove_stream passes an explicit
+    # per-proof budget so depth-N pipelining stays within HBM.
+    if coset_cache_mb is None:
+        coset_cache_mb = int(os.environ.get("ZKFHE_COSET_CACHE_MB", "6000"))
+    cos_budget = coset_cache_mb * (1 << 20) // (L * ext_n * 4)
 
     def fq(nm):
         return f"fixed{fidx[nm]}"
@@ -978,6 +1052,7 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             raise AssertionError(kind)
 
     cos_cache.clear()  # free ~5 MB x #polys of coset residency
+    yield  # quotient term batches dispatched
     jax.block_until_ready(acc)
     _timer.mark("quot_terms")
     zh_cycle = []
@@ -1001,7 +1076,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         L, PROTO.NUM_QUOT_CHUNKS, n)
     del h_coeffs_full
     polys.add_stack([f"quot{i}" for i in range(PROTO.NUM_QUOT_CHUNKS)], hq)
-    for pt in commit_coeffs(hq):
+    fin_q = commit_coeffs_async(hq)
+    yield  # quotient commit dispatched
+    for pt in fin_q():
         tr.write_point(pt)
 
     _log("quotient committed")
@@ -1027,15 +1104,20 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         by_rot.setdefault(rot, []).append(name)
     evals = {}
     EV_CHUNK = 64  # bounds the (L, K, n) stack + products peak memory
+    pending_evs = []  # dispatch every chunk, decode after the yield
     for rot, names in by_rot.items():
         for s in range(0, len(names), EV_CHUNK):
             chunk = names[s:s + EV_CHUNK]
             stack = jnp.stack([polys[nm] for nm in chunk], axis=1)
-            evs = _j_evals_batch(stack, xpows[rot])  # (L, K)
-            vals = F.decode(FR, evs, mont=True)
-            for nm, vv in zip(chunk, vals):
-                evals[(nm, rot)] = vv
+            pending_evs.append((rot, chunk, _j_evals_batch(stack,
+                                                           xpows[rot])))
             del stack
+    yield  # evaluation batches dispatched
+    for rot, chunk, evs in pending_evs:
+        vals = F.decode(FR, evs, mont=True)
+        for nm, vv in zip(chunk, vals):
+            evals[(nm, rot)] = vv
+    del pending_evs
     for name, rot in sched:
         tr.write_scalar(evals[(name, rot)])
 
@@ -1103,7 +1185,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     h_poly = _j_combine(
         jnp.stack(h_list, axis=1),
         jnp.asarray(F.encode(FR, ypows_host, mont=True)))
-    for pt in commit_coeffs(h_poly[:, None]):
+    fin_h = commit_coeffs_async(h_poly[:, None])
+    yield  # SHPLONK H commit dispatched
+    for pt in fin_h():
         tr.write_point(pt)
     u_pt = tr.challenge()
 
@@ -1128,7 +1212,9 @@ def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     w_poly = _j_divide_linear(
         l_comb, _enc_mont_scalar(c0), _enc_mont_scalar(u_pt),
         _enc_mont_scalar(pow(u_pt, FR.p - 2, FR.p)))
-    for pt in commit_coeffs(w_poly[:, None]):
+    fin_w = commit_coeffs_async(w_poly[:, None])
+    yield  # SHPLONK W commit dispatched
+    for pt in fin_w():
         tr.write_point(pt)
 
     _log("multiopen witnesses committed; proof done")

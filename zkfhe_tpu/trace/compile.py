@@ -139,6 +139,31 @@ def make_witgen(circuit_fn: Callable):
     return witgen
 
 
+_witgen_p0_cache = {}
+
+
+def make_witgen_p0(circuit_fn: Callable):
+    """Phase-0 witness generator: (inputs,) -> (values[CTX_P0], instance),
+    at the zero challenge. Returning ONLY the phase-0 context and the
+    public instance lets XLA dead-code-eliminate every gamma-dependent
+    (phase-1/wide) and lookup-decomposition computation from the
+    executable — the prover's first pass exists solely to commit phase-0
+    columns and absorb the publics before gamma is squeezed, so the full
+    trace it previously computed (and the full-width advice iNTT that
+    followed) was discarded work."""
+    if circuit_fn in _witgen_p0_cache:
+        return _witgen_p0_cache[circuit_fn]
+
+    @jax.jit
+    def witgen_p0(inputs):
+        gamma = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+        _, values, instance = run_circuit(circuit_fn, inputs, gamma)
+        return values[CTX_P0], instance
+
+    _witgen_p0_cache[circuit_fn] = witgen_p0
+    return witgen_p0
+
+
 # ---------------------------------------------------------------------------
 # Mock prover
 # ---------------------------------------------------------------------------
