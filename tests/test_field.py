@@ -92,3 +92,38 @@ def test_select_iszero():
     a = F.encode(fld, xs)
     mask = np.asarray(F.is_zero(a))
     assert mask.tolist() == [True, False, True, False]
+
+
+@pytest.mark.parametrize("fld", FIELDS, ids=lambda f: f.name)
+def test_mont_reduce(fld):
+    """mont_reduce(t) == t * R^-1 mod p for double-width 13-bit-limb
+    inputs (the reduction half of mont_mul, used standalone by the
+    device-side blinding sampler)."""
+    rs = np.random.RandomState(7)
+    t = rs.randint(0, 1 << F.LIMB_BITS,
+                   size=(2 * F.NLIMBS, 33)).astype(np.uint32)
+    t[-1] = 0  # precondition: t < p * R
+    out = np.asarray(F.mont_reduce(fld, jnp.asarray(t)))
+    r_inv = pow(1 << (F.LIMB_BITS * F.NLIMBS), fld.p - 2, fld.p)
+    for j in range(t.shape[1]):
+        u = sum(int(t[i, j]) << (F.LIMB_BITS * i)
+                for i in range(2 * F.NLIMBS))
+        got = sum(int(out[i, j]) << (F.LIMB_BITS * i)
+                  for i in range(F.NLIMBS))
+        assert got == u * r_inv % fld.p
+
+
+def test_rand_mont():
+    """Device-side uniform sampling: reduced, deterministic per key,
+    distinct across keys/draws (backs prover._ProofRng)."""
+    k1 = jax.random.key(11)
+    a = np.asarray(F.rand_mont(F.FR, k1, (2, 3)))
+    b = np.asarray(F.rand_mont(F.FR, k1, (2, 3)))
+    c = np.asarray(F.rand_mont(F.FR, jax.random.key(12), (2, 3)))
+    assert np.array_equal(a, b), "same key must reproduce"
+    assert not np.array_equal(a, c)
+    vals = [sum(int(a[i, r, s]) << (F.LIMB_BITS * i)
+                for i in range(F.NLIMBS))
+            for r in range(2) for s in range(3)]
+    assert all(v < F.FR.p for v in vals)
+    assert len(set(vals)) == len(vals)

@@ -162,9 +162,11 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     delta = pk.vk.delta
     shape = pk.vk.shape
 
-    import random as _random
-    rngs = [(_random.SystemRandom() if rng_seeds is None
-             else _random.Random(rng_seeds[i])) for i in range(B)]
+    # device-side blinding (prover._ProofRng): same per-proof draw order
+    # as serial prove(), so proof bytes match for equal seeds
+    rngds = [PV._ProofRng(None if rng_seeds is None else rng_seeds[i])
+             for i in range(B)]
+    dstate = PV._pk_device_state(pk, dom, dom_ext, 1)
 
     from ..utils.profiling import StageTimer
     _timer = StageTimer("prove_batch", stream=None)
@@ -187,14 +189,9 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
             tr.common_scalar(v)
     _timer.mark("witgen0")
 
-    scatter_idx = tuple(
-        jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
-                    + asm.cell_row[ctx].astype(np.int64))
-        for ctx in range(NUM_CTX)
-    )
-    blind = jnp.stack([
-        jnp.asarray(PV._rand_field_rows(rngs[i], asm.num_advice, n - u))
-        for i in range(B)])
+    scatter_idx = dstate["scatter_idx"]
+    blind = jnp.stack([rngds[i].draw(asm.num_advice, n - u)
+                       for i in range(B)])
 
     p0 = asm.num_p0_cols
     vm_advice = _vm(("advice", dom, asm.num_advice, n, u),
@@ -236,9 +233,9 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
                 trs[i].write_point(pt)
     _timer.mark("phase0_commit")
     gammas = [tr.challenge() for tr in trs]
-    gammas_m = jnp.stack([PV._enc_mont_scalar(g) for g in gammas])
-    gammas_std = jnp.stack(
-        [jnp.asarray(F.encode(FR, [g]))[:, 0] for g in gammas])
+    gammas_m = jnp.moveaxis(
+        jnp.asarray(F.encode(FR, gammas, mont=True)), 1, 0)
+    gammas_std = jnp.moveaxis(jnp.asarray(F.encode(FR, gammas)), 1, 0)
 
     # ---- full witness with the real challenges -----------------------------
     values1, instances1 = witgen_b(batched_inputs, gammas_std)
@@ -272,9 +269,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     nlk = asm.num_lk_cols
     lk_base = asm.num_advice - nlk
     ngroups = PROTO.num_lookup_groups(shape)
-    table_std = np.zeros(n, dtype=np.uint64)
-    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
-    table_vals = F.to_mont(FR, jnp.asarray(F.encode_ints_np(list(table_std))))
+    table_vals = dstate["table_vals"]
 
     if nlk:
         vm_counts = _vm(("lk_counts", nlk * u, n),
@@ -282,9 +277,8 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
                         (0,))
         m_std = vm_counts(values1[CTX_LK][:, 0])  # (B, L, n)
         m_vals = vm_mont(m_std)
-        m_tail = jnp.stack([
-            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u)[:, 0])
-            for i in range(B)])
+        m_tail = jnp.stack([rngds[i].draw(1, n - u)[:, 0]
+                            for i in range(B)])
         m_vals = jnp.concatenate([m_vals[:, :, :u], m_tail], axis=2)
         polys.set_per_proof("lookup_m", vm_intt(m_vals))
         mb = np.asarray([(nlk * u).bit_length()])
@@ -293,22 +287,20 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
                 trs[i].write_point(pt)
     _timer.mark("phase1_commit")
     betas_l = [tr.challenge() for tr in trs]
-    betas_lm = jnp.stack([PV._enc_mont_scalar(b) for b in betas_l])
+    betas_lm = jnp.moveaxis(
+        jnp.asarray(F.encode(FR, betas_l, mont=True)), 1, 0)
 
     h_coeffs = None
     if nlk:
         vm_lookup_aux = _vm(("lookup_aux", dom, u),
                             functools.partial(PV._j_lookup_aux, dom, u),
                             (0, 0, None, 0, 0, 0, 0))
-        rand_h = jnp.stack([
-            jnp.asarray(PV._rand_field_rows(rngs[i], ngroups, n - u))
-            for i in range(B)])
-        rand_g = jnp.stack([
-            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u)[:, 0])
-            for i in range(B)])
-        rand_phi = jnp.stack([
-            jnp.asarray(PV._rand_field_rows(rngs[i], 1, n - u - 1)[:, 0])
-            for i in range(B)])
+        rand_h = jnp.stack([rngds[i].draw(ngroups, n - u)
+                            for i in range(B)])
+        rand_g = jnp.stack([rngds[i].draw(1, n - u)[:, 0]
+                            for i in range(B)])
+        rand_phi = jnp.stack([rngds[i].draw(1, n - u - 1)[:, 0]
+                              for i in range(B)])
         h_all, g_vals, phi_vals, h_coeffs, g_coeffs, phi_coeffs = \
             vm_lookup_aux(adv[:, :, lk_base:, :], m_vals, table_vals,
                           betas_lm, rand_h, rand_g, rand_phi)
@@ -323,24 +315,19 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     _timer.mark("lookup_commit")
     betas_p = [tr.challenge() for tr in trs]
     gammas_p = [tr.challenge() for tr in trs]
-    betas_pm = jnp.stack([PV._enc_mont_scalar(b) for b in betas_p])
-    gammas_pm = jnp.stack([PV._enc_mont_scalar(g) for g in gammas_p])
+    bg_enc = jnp.asarray(F.encode(FR, betas_p + gammas_p, mont=True))
+    betas_pm = jnp.moveaxis(bg_enc[:, :B], 1, 0)
+    gammas_pm = jnp.moveaxis(bg_enc[:, B:], 1, 0)
 
     # ---- permutation grand products ----------------------------------------
     P = asm.num_perm_cols
     nz = PROTO.num_perm_chunks(shape)
-    fixed_vals_const = N.ntt(dom, pk.fixed_coeffs[:, 0])
-    perm_vals = _j_perm_vals(adv, inst_vals, fixed_vals_const)
+    perm_vals = _j_perm_vals(adv, inst_vals, dstate["fixed_vals_const"])
 
-    delta_pows = [1] * P
-    for i in range(1, P):
-        delta_pows[i] = delta_pows[i - 1] * delta % FR.p
-    dpow = jnp.asarray(F.encode(FR, delta_pows, mont=True))
-    wpow = F.power_series(FR, PV._enc_mont_scalar(dom.omega), n)
+    dpow = dstate["dpow"]
+    wpow = dstate["wpow"]
 
-    rand_z = jnp.stack([
-        jnp.asarray(PV._rand_field_rows(rngs[i], nz, n - u - 1))
-        for i in range(B)])
+    rand_z = jnp.stack([rngds[i].draw(nz, n - u - 1) for i in range(B)])
     vm_perm_z = _vm(("perm_z", dom, u),
                     functools.partial(PV._j_perm_z, dom, u),
                     (0, None, None, None, 0, 0, 0))
@@ -350,39 +337,38 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     _timer.mark("perm_z")
     del perm_vals
     polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
-    for i, pts in enumerate(commit_batch(z_lag, split_tail=False)):
-        for pt in pts:
-            trs[i].write_point(pt)
-
-    rand_coeffs = jnp.stack([
-        jnp.asarray(PV._rand_field_rows(rngs[i], 1, n)) for i in range(B)])
+    rand_coeffs = jnp.stack([rngds[i].draw(1, n) for i in range(B)])
     polys.set_per_proof("random", rand_coeffs[:, :, 0])
-    for i, pts in enumerate(commit_coeffs_batch(rand_coeffs)):
+    # z products + random poly through ONE folded commit (one transfer);
+    # per-proof point order (z..., random) matches the transcript
+    vm_ntt = _vm(("ntt", dom), functools.partial(N.ntt, dom), (0,))
+    zr_vals = jnp.concatenate([z_lag, vm_ntt(rand_coeffs)], axis=2)
+    for i, pts in enumerate(commit_batch(zr_vals, split_tail=False)):
         for pt in pts:
             trs[i].write_point(pt)
     _timer.mark("perm_commit")
     ys = [tr.challenge() for tr in trs]
 
     # ---- quotient on the extended coset ------------------------------------
-    coset_gen = delta
-    cpow = F.power_series(FR, PV._enc_mont_scalar(coset_gen), ext_n)
-    cpow_inv = F.power_series(
-        FR, PV._enc_mont_scalar(pow(coset_gen, FR.p - 2, FR.p)), ext_n)
-    xcoset = F.mont_mul(
-        FR,
-        F.power_series(FR, PV._enc_mont_scalar(dom_ext.omega), ext_n),
-        jnp.broadcast_to(PV._enc_mont_scalar(coset_gen)[:, None],
-                         (L, ext_n)),
-    )
+    cpow = dstate["cpow"]
+    cpow_inv = dstate["cpow_inv"]
+    xcoset = dstate["xcoset"]
 
     terms = PROTO.build_terms(shape)
     ny = len(terms)
-    y_w = []
-    for y in ys:
-        y_pows = [1] * ny
-        for i in range(1, ny):
-            y_pows[i] = y_pows[i - 1] * y % FR.p
-        y_w.append([y_pows[ny - 1 - i] for i in range(ny)])
+    # per-proof term weights on device: ONE upload of the B challenges,
+    # vmapped power scan, one static take against the pk's term plan
+    ys_enc = jnp.asarray(F.encode(FR, ys, mont=True))  # (L, B)
+    vm_ypows = _vm(("ypows", ny),
+                   functools.partial(lambda c, b: F.power_series(FR, b, c),
+                                     ny), (0,))
+    ypows_b = vm_ypows(jnp.moveaxis(ys_enc, 1, 0))  # (B, L, ny)
+    ws_all_b = jnp.take(ypows_b, dstate["term_plan"], axis=2)
+    _ws_cursor = [0]
+
+    def yb_weight(ti):
+        """(B, L) device weight y_i^(ny-1-ti)."""
+        return ypows_b[:, :, ny - 1 - ti]
 
     fixed_names = PROTO.fixed_poly_names(shape)
     fidx = {nm: i for i, nm in enumerate(fixed_names)}
@@ -423,11 +409,18 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     qact_ev = coset_of([fq("q_act")])[0]
 
     def enc_ws(tis, width):
-        rows = []
-        for i in range(B):
-            vals = [y_w[i][ti] for ti in tis] + [0] * (width - len(tis))
-            rows.append(jnp.asarray(F.encode(FR, vals, mont=True)))
-        return jnp.stack(rows)
+        """(B, L, width) device term weights from the static plan (see
+        prover._term_plan; the cursor assert keeps the two groupings in
+        lockstep)."""
+        o, m = _ws_cursor[0], len(tis)
+        assert np.array_equal(dstate["term_plan_np"][o:o + m],
+                              [ny - 1 - ti for ti in tis]), \
+            "term plan out of sync with the batched quotient loop"
+        _ws_cursor[0] = o + m
+        w = ws_all_b[:, :, o:o + m]
+        if m < width:
+            w = jnp.pad(w, [(0, 0), (0, 0), (0, width - m)])
+        return w
 
     vm_acc_add = _vm(("acc_add",), functools.partial(F.add, FR), (0, 0))
 
@@ -480,7 +473,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
         vm_lk1 = _vm(("lookup_h_term", dom_ext),
                      functools.partial(PV._j_lookup_h_term, dom_ext),
                      (0, 0, 0, 0, 0, None, 0))
-        acc = vm_lk1(acc, _enc_b(y_w, ti), polys.get(f"lookup_h{g}"),
+        acc = vm_lk1(acc, yb_weight(ti), polys.get(f"lookup_h{g}"),
                      lstack, polys.get(fq("q_act")), cpow, betas_lm)
 
     # permutation chunk terms
@@ -526,7 +519,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
         vm_pc1 = _vm(("perm_chunk_term", dom_ext, len(idxs)),
                      functools.partial(PV._j_perm_chunk_term, dom_ext),
                      (0, 0, 0, 0, 0, 0, None, None, None, 0, 0))
-        acc = vm_pc1(acc, _enc_b(y_w, ti), polys.get(f"perm_z{j}"),
+        acc = vm_pc1(acc, yb_weight(ti), polys.get(f"perm_z{j}"),
                      jnp.stack([polys.get(perm_col_name(i)) for i in idxs],
                                axis=2),
                      jnp.stack([polys.get(f"sigma{i}") for i in idxs],
@@ -551,7 +544,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
 
     # singleton terms
     for ti, (kind, arg) in enumerate(terms):
-        w = _enc_b(y_w, ti)
+        w = yb_weight(ti)
         if kind == "lookup_table":
             fn = _vm(("lookup_table_term", dom_ext),
                      functools.partial(PV._j_lookup_table_term, dom_ext),
@@ -591,14 +584,7 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     cos_cache.clear()
     jax.block_until_ready(acc)
     _timer.mark("quot_terms")
-    zh_cycle = []
-    gn = pow(coset_gen, n, FR.p)
-    for j in range(EXT_FACTOR):
-        val = (gn * pow(dom_ext.omega, n * j, FR.p) - 1) % FR.p
-        zh_cycle.append(pow(val, FR.p - 2, FR.p))
-    zh_inv = jnp.tile(
-        jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
-        (1, ext_n // EXT_FACTOR))
+    zh_inv = dstate["zh_inv"]
     vm_finish = _vm(("quot_finish", dom_ext),
                     functools.partial(PV._j_quot_finish, dom_ext),
                     (0, None, None))
@@ -625,9 +611,18 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     } for x in xs]
     vm_pows = _vm(("power_series", n),
                   lambda b: F.power_series(FR, b, n), (0,))
-    xpows = {r: vm_pows(jnp.stack(
-        [PV._enc_mont_scalar(points_b[i][r]) for i in range(B)]))
-        for r in PROTO.ROTATIONS}
+    # ONE upload for all B x |rotations| opening points (+ inverses for
+    # the SHPLONK divisions below)
+    flat_pts = [points_b[i][r] for r in PROTO.ROTATIONS for i in range(B)]
+    inv_pts = [pow(z, FR.p - 2, FR.p) for z in flat_pts]
+    pe = jnp.asarray(F.encode(FR, flat_pts + inv_pts, mont=True))
+    nflat = len(flat_pts)
+    enc_pt_b = {r: jnp.moveaxis(pe[:, ri * B:(ri + 1) * B], 1, 0)
+                for ri, r in enumerate(PROTO.ROTATIONS)}  # (B, L)
+    enc_pt_inv_b = {
+        r: jnp.moveaxis(pe[:, nflat + ri * B: nflat + (ri + 1) * B], 1, 0)
+        for ri, r in enumerate(PROTO.ROTATIONS)}
+    xpows = {r: vm_pows(enc_pt_b[r]) for r in PROTO.ROTATIONS}
 
     vm_evals = _vm(("evals_batch",), PV._j_evals_batch, (0, 0))
     by_rot = {}
@@ -635,16 +630,22 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
         by_rot.setdefault(rot, []).append(name)
     evals = [dict() for _ in range(B)]
     EV_CHUNK = 64
+    pend = []  # dispatch all chunks; decode through ONE transfer
     for rot, names in by_rot.items():
         for s in range(0, len(names), EV_CHUNK):
             chunk = names[s:s + EV_CHUNK]
             stack = jnp.stack([polys.get(nm) for nm in chunk], axis=2)
-            evs = np.asarray(vm_evals(stack, xpows[rot]))  # (B, L, K)
-            for i in range(B):
-                vals = F.decode(FR, evs[i], mont=True)
-                for nm, vv in zip(chunk, vals):
-                    evals[i][(nm, rot)] = vv
+            pend.append((rot, chunk, vm_evals(stack, xpows[rot])))
             del stack
+    all_np = np.asarray(jnp.concatenate([e for _, _, e in pend], axis=2))
+    for i in range(B):
+        vals = F.decode(FR, all_np[i], mont=True)
+        pos = 0
+        for rot, chunk, _ in pend:
+            for nm in chunk:
+                evals[i][(nm, rot)] = vals[pos]
+                pos += 1
+    del pend
     for i, tr in enumerate(trs):
         for name, rot in sched:
             tr.write_scalar(evals[i][(name, rot)])
@@ -661,49 +662,57 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
 
     f_polys, set_pts, set_evals, h_list = [], [], [], []
     CB = 64
+    # host math for every (set, proof) first, so the interpolation
+    # coefficients ride ONE upload; v-powers fold on device from one
+    # upload of the B challenges
+    max_names = max(len(names) for _, names in sets)
+    vs_enc = jnp.asarray(F.encode(FR, vs, mont=True))  # (L, B)
+    vm_vpows = _vm(("vpows", max_names),
+                   functools.partial(lambda c, b: F.power_series(FR, b, c),
+                                     max_names), (0,))
+    vpows_dev_b = vm_vpows(jnp.moveaxis(vs_enc, 1, 0))  # (B, L, max)
+    vpows_host = [[pow(vs[i], j, FR.p) for j in range(max_names)]
+                  for i in range(B)]
+    rc_flat, rc_base = [], []
     for rots, names in sets:
-        vpows_host = [[pow(vs[i], j, FR.p) for j in range(len(names))]
-                      for i in range(B)]
-        comb = None
-        for s in range(0, len(names), CB):
-            stack = jnp.stack([polys.get(nm) for nm in names[s:s + CB]],
-                              axis=2)
-            vp = jnp.stack([
-                jnp.asarray(F.encode(FR, vpows_host[i][s:s + CB], mont=True))
-                for i in range(B)])
-            part = vm_combine(stack, vp)
-            del stack
-            comb = part if comb is None else vm_acc_add(comb, part)
         pts_b = [[points_b[i][r] for r in rots] for i in range(B)]
         fe_b = [[sum(vw * evals[i][(nm, r)]
                      for vw, nm in zip(vpows_host[i], names)) % FR.p
                  for r in rots] for i in range(B)]
-        rc_b = jnp.stack([
-            jnp.asarray(F.encode(
-                FR, PROTO.lagrange_coeffs(pts_b[i], fe_b[i], FR.p),
-                mont=True)) for i in range(B)])
-        vm_sub_low = _vm(("sub_low", len(rots)),
-                         functools.partial(PV._j_sub_low, len(rots)),
-                         (0, 0))
-        numer = vm_sub_low(comb, rc_b)
-        for ri in range(len(rots)):
-            zm = jnp.stack([PV._enc_mont_scalar(pts_b[i][ri])
-                            for i in range(B)])
-            zim = jnp.stack([
-                PV._enc_mont_scalar(pow(pts_b[i][ri], FR.p - 2, FR.p))
-                for i in range(B)])
-            numer = vm_div(numer, zero_ce, zm, zim)
-        f_polys.append(comb)
+        rc_base.append(len(rc_flat))
+        for i in range(B):
+            rc_flat += PROTO.lagrange_coeffs(pts_b[i], fe_b[i], FR.p)
         set_pts.append(pts_b)
         set_evals.append(fe_b)
+    rc_enc = jnp.asarray(F.encode(FR, rc_flat, mont=True))
+    for si, (rots, names) in enumerate(sets):
+        comb = None
+        for s in range(0, len(names), CB):
+            chunk = names[s:s + CB]
+            stack = jnp.stack([polys.get(nm) for nm in chunk], axis=2)
+            part = vm_combine(stack, vpows_dev_b[:, :, s:s + len(chunk)])
+            del stack
+            comb = part if comb is None else vm_acc_add(comb, part)
+        m = len(rots)
+        base = rc_base[si]
+        rc_b = jnp.stack([rc_enc[:, base + i * m: base + (i + 1) * m]
+                          for i in range(B)])
+        vm_sub_low = _vm(("sub_low", m),
+                         functools.partial(PV._j_sub_low, m), (0, 0))
+        numer = vm_sub_low(comb, rc_b)
+        for ri, r in enumerate(rots):
+            numer = vm_div(numer, zero_ce, enc_pt_b[r], enc_pt_inv_b[r])
+        f_polys.append(comb)
         h_list.append(numer)
 
     ypows_host = [[pow(y2s[i], si, FR.p) for si in range(len(sets))]
                   for i in range(B)]
+    y2_enc = jnp.asarray(F.encode(
+        FR, [w for row in ypows_host for w in row], mont=True))
+    ns = len(sets)
     h_poly = vm_combine(
         jnp.stack(h_list, axis=2),
-        jnp.stack([jnp.asarray(F.encode(FR, ypows_host[i], mont=True))
-                   for i in range(B)]))
+        jnp.stack([y2_enc[:, i * ns:(i + 1) * ns] for i in range(B)]))
     for i, pts in enumerate(commit_coeffs_batch(h_poly[:, :, None])):
         trs[i].write_point(pts[0])
     us = [tr.challenge() for tr in trs]
@@ -728,16 +737,23 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     for i in range(B):
         scal_b[i].append(
             (-PROTO.vanishing_eval(t_vals_b[i], us[i], FR.p)) % FR.p)
+    # one upload: per-proof set weights + the three division scalars
+    ts = len(scal_b[0])
+    tail_flat = []
+    for i in range(B):
+        tail_flat += scal_b[i] + [c0_b[i], us[i],
+                                  pow(us[i], FR.p - 2, FR.p)]
+    tail_enc = jnp.asarray(F.encode(FR, tail_flat, mont=True))
+    stride = ts + 3
     l_comb = vm_combine(
         jnp.stack(f_polys + [h_poly], axis=2),
-        jnp.stack([jnp.asarray(F.encode(FR, scal_b[i], mont=True))
+        jnp.stack([tail_enc[:, i * stride: i * stride + ts]
                    for i in range(B)]))
     w_poly = vm_div(
         l_comb,
-        jnp.stack([PV._enc_mont_scalar(c0_b[i]) for i in range(B)]),
-        jnp.stack([PV._enc_mont_scalar(us[i]) for i in range(B)]),
-        jnp.stack([PV._enc_mont_scalar(pow(us[i], FR.p - 2, FR.p))
-                   for i in range(B)]))
+        jnp.stack([tail_enc[:, i * stride + ts] for i in range(B)]),
+        jnp.stack([tail_enc[:, i * stride + ts + 1] for i in range(B)]),
+        jnp.stack([tail_enc[:, i * stride + ts + 2] for i in range(B)]))
     for i, pts in enumerate(commit_coeffs_batch(w_poly[:, :, None])):
         trs[i].write_point(pts[0])
     _timer.mark("multiopen")
@@ -746,7 +762,3 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     PV.LAST_STAGES.update(_timer.summary())
     return [tr.proof_bytes() for tr in trs]
 
-
-def _enc_b(y_w, ti):
-    """(B, L) Montgomery-encoded per-proof weight y_i^(...) for term ti."""
-    return jnp.stack([PV._enc_mont_scalar(yw[ti]) for yw in y_w])

@@ -68,6 +68,36 @@ def _rand_field_rows(rng, rows, cols):
     )
 
 
+class _ProofRng:
+    """Blinding source for one proof, sampled ON DEVICE (ops/field
+    rand_mont: threefry bits -> 507-bit uniform -> Montgomery reduce).
+    One small key upload per proof replaces a host randrange + a
+    ~25 ms tunnel transfer per blinding draw. Seeded from os.urandom
+    (threefry-2x32 as a PRF over 128 fresh bits) by default; rng_seed
+    gives the deterministic path for tests/benches. The draw ORDER is
+    fixed by the protocol code: the serial, batched and pipelined
+    provers make identical sequences, keeping proof bytes identical
+    across them for equal seeds."""
+
+    def __init__(self, seed: bytes | None):
+        import hashlib
+        data = (os.urandom(16) if seed is None else
+                hashlib.blake2b(b"zkfhe-blind:" + seed,
+                                digest_size=16).digest())
+        key = jax.random.key(int.from_bytes(data[:8], "little",
+                                            signed=True))
+        key = jax.random.fold_in(key, int.from_bytes(data[8:12], "little"))
+        self.key = jax.random.fold_in(key,
+                                      int.from_bytes(data[12:16], "little"))
+        self._n = 0
+
+    def draw(self, rows: int, cols: int):
+        """(L, rows, cols) uniform field elements, Montgomery form."""
+        self._n += 1
+        return F.rand_mont(FR, jax.random.fold_in(self.key, self._n),
+                           (rows, cols))
+
+
 def _enc_mont_scalar(x: int):
     return jnp.asarray(F.encode(FR, [x % FR.p], mont=True))[:, 0]
 
@@ -526,6 +556,100 @@ def _j_perm_z(dom, u, perm_vals, sigma_vals, dpow, wpow, beta_m, gamma_m,
 # The prover
 # ---------------------------------------------------------------------------
 
+def _term_plan(shape, nd: int) -> np.ndarray:
+    """ypows indices (exponent ny-1-ti, i.e. the y-weight of term ti)
+    for every BATCHED term-weight slice of the quotient loop, in exactly
+    the order the loop consumes them. Static per (circuit shape, device
+    count); uploaded once per pk so per-prove term weights become one
+    device take + slices instead of ~40 host encodes (~25 ms each over
+    the remote tunnel). The consuming enc_ws asserts each slice against
+    this plan, so the two copies of the grouping logic cannot drift."""
+    terms = PROTO.build_terms(shape)
+    ny = len(terms)
+    nlk = shape["num_lk_cols"]
+    P = shape["num_perm_cols"]
+    gate_b = -(-8 // nd) * nd
+    permj = -(-4 // nd) * nd
+    by_kind = {}
+    for ti, (kind, arg) in enumerate(terms):
+        by_kind.setdefault(kind, []).append((ti, arg))
+    out = []
+    for kind in ("gate", "challenge"):
+        grp_all = by_kind.get(kind, [])
+        for s in range(0, len(grp_all), gate_b):
+            out += [ny - 1 - ti for ti, _ in grp_all[s:s + gate_b]]
+    lk_full = [
+        (ti, g) for ti, g in by_kind.get("lookup_h", [])
+        if min((g + 1) * LOOKUP_GROUP, nlk) - g * LOOKUP_GROUP
+        == LOOKUP_GROUP
+    ]
+    if lk_full:
+        out += [ny - 1 - ti for ti, _ in lk_full]
+    pc_full = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
+               if min((j + 1) * PERM_CHUNK, P) - j * PERM_CHUNK
+               == PERM_CHUNK]
+    for s in range(0, len(pc_full), permj):
+        out += [ny - 1 - ti for ti, _ in pc_full[s:s + permj]]
+    chains = by_kind.get("perm_chain", [])
+    for s in range(0, len(chains), gate_b):
+        out += [ny - 1 - ti for ti, _ in chains[s:s + gate_b]]
+    return np.asarray(out, dtype=np.int64)
+
+
+def _pk_device_state(pk: ProvingKey, dom, dom_ext, nd: int) -> dict:
+    """Device-resident per-pk constants, uploaded ONCE and reused by
+    every prove. The remote-TPU tunnel charges ~25-40 ms per transfer
+    and ~7 MB/s of bandwidth; before this cache each prove re-uploaded
+    the ~12 MB scatter indices, the delta/omega/coset power series, the
+    Z_H^-1 cycle and the lookup table — several seconds of pure
+    transfer per proof."""
+    key = (dom.n, dom_ext.n, nd)
+    cache = getattr(pk, "_dev_state", None)
+    if cache is not None and cache.get("key") == key:
+        return cache
+    asm = pk.asm
+    n, ext_n = dom.n, dom_ext.n
+    delta = pk.vk.delta
+    c: dict = {"key": key}
+    c["scatter_idx"] = tuple(
+        jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
+                    + asm.cell_row[ctx].astype(np.int64))
+        for ctx in range(NUM_CTX)
+    )
+    P = asm.num_perm_cols
+    dp = [1] * P
+    for i in range(1, P):
+        dp[i] = dp[i - 1] * delta % FR.p
+    c["dpow"] = jnp.asarray(F.encode(FR, dp, mont=True))
+    c["wpow"] = F.power_series(FR, _enc_mont_scalar(dom.omega), n)
+    c["cpow"] = F.power_series(FR, _enc_mont_scalar(delta), ext_n)
+    c["cpow_inv"] = F.power_series(
+        FR, _enc_mont_scalar(pow(delta, FR.p - 2, FR.p)), ext_n)
+    c["xcoset"] = F.mont_mul(
+        FR,
+        F.power_series(FR, _enc_mont_scalar(dom_ext.omega), ext_n),
+        jnp.broadcast_to(_enc_mont_scalar(delta)[:, None], (L, ext_n)),
+    )
+    zh_cycle = []
+    gn = pow(delta, n, FR.p)
+    for j in range(EXT_FACTOR):
+        val = (gn * pow(dom_ext.omega, n * j, FR.p) - 1) % FR.p
+        zh_cycle.append(pow(val, FR.p - 2, FR.p))
+    c["zh_inv"] = jnp.tile(
+        jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
+        (1, ext_n // EXT_FACTOR))
+    table_std = np.zeros(n, dtype=np.uint64)
+    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
+    c["table_vals"] = F.to_mont(
+        FR, jnp.asarray(F.encode_ints_np(list(table_std))))
+    c["fixed_vals_const"] = N.ntt(dom, pk.fixed_coeffs[:, 0])
+    plan = _term_plan(pk.vk.shape, nd)
+    c["term_plan_np"] = plan
+    c["term_plan"] = jnp.asarray(plan)
+    pk._dev_state = c
+    return c
+
+
 def prove(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
           rng_seed: bytes | None = None, debug: bool = False,
           mesh=None, mesh_axis: str = "chips") -> bytes:
@@ -567,12 +691,12 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     delta = pk.vk.delta
     shape = pk.vk.shape
 
-    import random as _random
-    # blinding randomness: OS CSPRNG by default; the seeded Mersenne
-    # Twister path exists ONLY for deterministic tests/benches
+    # blinding randomness: device-side threefry keyed from os.urandom by
+    # default; the seeded path exists ONLY for deterministic tests/benches
     # (ADVICE.md round-1 low)
-    rng = (_random.SystemRandom() if rng_seed is None
-           else _random.Random(rng_seed))
+    rngd = _ProofRng(rng_seed)
+    nd = 1 if mesh is None else mesh.shape[mesh_axis]
+    dstate = _pk_device_state(pk, dom, dom_ext, nd)
 
     from ..utils.profiling import StageTimer
     _timer = StageTimer("prove", stream=None)
@@ -593,12 +717,8 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         tr.common_scalar(v)
     _timer.mark("witgen0")
 
-    scatter_idx = tuple(
-        jnp.asarray(asm.cell_col[ctx].astype(np.int64) * n
-                    + asm.cell_row[ctx].astype(np.int64))
-        for ctx in range(NUM_CTX)
-    )
-    blind = jnp.asarray(_rand_field_rows(rng, asm.num_advice, n - u))
+    scatter_idx = dstate["scatter_idx"]
+    blind = rngd.draw(asm.num_advice, n - u)
     p0 = asm.num_p0_cols
     adv_p0 = (_j_advice_p0(p0, n, u, values0_p0, scatter_idx[CTX_P0],
                            blind[:, :p0]) if p0 else None)
@@ -704,9 +824,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     nlk = asm.num_lk_cols
     lk_base = asm.num_advice - nlk
     ngroups = PROTO.num_lookup_groups(shape)
-    table_std = np.zeros(n, dtype=np.uint64)
-    table_std[: 1 << LOOKUP_BITS] = np.arange(1 << LOOKUP_BITS)
-    table_vals = F.to_mont(FR, jnp.asarray(F.encode_ints_np(list(table_std))))
+    table_vals = dstate["table_vals"]
 
     h_coeffs = None
     if nlk:
@@ -720,7 +838,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         m_vals_std, _ = F._carry_chain(m_vals_std)
         m_vals = F.to_mont(FR, m_vals_std)
         m_vals = jnp.concatenate(
-            [m_vals[:, :u], _rand_field_rows(rng, 1, n - u)[:, 0]], axis=1)
+            [m_vals[:, :u], rngd.draw(1, n - u)[:, 0]], axis=1)
         polys["lookup_m"] = N.intt(dom, m_vals)
         # multiplicity counts are bounded by the number of looked-up cells
         fin_m = commit_evals_async(m_vals[:, None],
@@ -738,9 +856,9 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         h_all, g_vals, phi_vals, h_coeffs, g_coeffs, phi_coeffs = \
             _j_lookup_aux(
                 dom, u, adv[:, lk_base:, :], m_vals, table_vals, beta_lm,
-                jnp.asarray(_rand_field_rows(rng, ngroups, n - u)),
-                jnp.asarray(_rand_field_rows(rng, 1, n - u)[:, 0]),
-                jnp.asarray(_rand_field_rows(rng, 1, n - u - 1)[:, 0]),
+                rngd.draw(ngroups, n - u),
+                rngd.draw(1, n - u)[:, 0],
+                rngd.draw(1, n - u - 1)[:, 0],
             )
         polys.add_stack([f"lookup_h{g}" for g in range(ngroups)], h_coeffs)
         polys["lookup_g"] = g_coeffs
@@ -756,30 +874,30 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     _timer.mark("lookup_commit")
     beta_p = tr.challenge()
     gamma_p = tr.challenge()
-    beta_pm = _enc_mont_scalar(beta_p)
-    gamma_pm = _enc_mont_scalar(gamma_p)
+    bg_enc = jnp.asarray(F.encode(FR, [beta_p, gamma_p], mont=True))
+    beta_pm, gamma_pm = bg_enc[:, 0], bg_enc[:, 1]
 
     # ---- permutation grand products ----------------------------------------
     P = asm.num_perm_cols
     nz = PROTO.num_perm_chunks(shape)
-    fixed_vals_const = N.ntt(dom, pk.fixed_coeffs[:, 0])
     perm_vals = jnp.concatenate(
-        [adv, fixed_vals_const[:, None], inst_vals[:, None]], axis=1)
+        [adv, dstate["fixed_vals_const"][:, None], inst_vals[:, None]],
+        axis=1)
 
-    delta_pows = [1] * P
-    for i in range(1, P):
-        delta_pows[i] = delta_pows[i - 1] * delta % FR.p
-    dpow = jnp.asarray(F.encode(FR, delta_pows, mont=True))
-    wpow = F.power_series(FR, _enc_mont_scalar(dom.omega), n)
+    dpow = dstate["dpow"]
+    wpow = dstate["wpow"]
 
     z_lag, z_coeffs = _j_perm_z(
         dom, u, perm_vals, pk.sigma_vals, dpow, wpow, beta_pm, gamma_pm,
-        jnp.asarray(_rand_field_rows(rng, nz, n - u - 1)),
+        rngd.draw(nz, n - u - 1),
     )
-    fin_z = commit_vals_async(z_lag)
-    rand_coeffs = jnp.asarray(_rand_field_rows(rng, 1, n)[:, 0])
+    rand_coeffs = rngd.draw(1, n)[:, 0]
     polys["random"] = rand_coeffs
-    fin_rand = commit_coeffs_async(rand_coeffs[:, None])
+    # z products + the random poly commit through ONE call (one decode
+    # transfer); point order (z..., random) matches the transcript
+    zr_vals = jnp.concatenate([z_lag, N.ntt(dom, rand_coeffs)[:, None]],
+                              axis=1)
+    fin_zr = commit_vals_async(zr_vals)
     yield  # grand-product + random commits dispatched
     jax.block_until_ready(z_lag)
     _timer.mark("perm_z")
@@ -787,9 +905,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     if not debug:
         del adv  # kept only for the debug on-domain term check below
     polys.add_stack([f"perm_z{j}" for j in range(nz)], z_coeffs)
-    for pt in fin_z():
-        tr.write_point(pt)
-    for pt in fin_rand():
+    for pt in fin_zr():
         tr.write_point(pt)
 
     _log("permutation products + random committed")
@@ -808,21 +924,22 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     # ---- quotient on the extended coset ------------------------------------
     coset_gen = delta
-    cpow = F.power_series(FR, _enc_mont_scalar(coset_gen), ext_n)
-    cpow_inv = F.power_series(
-        FR, _enc_mont_scalar(pow(coset_gen, FR.p - 2, FR.p)), ext_n)
-    xcoset = F.mont_mul(
-        FR,
-        F.power_series(FR, _enc_mont_scalar(dom_ext.omega), ext_n),
-        jnp.broadcast_to(_enc_mont_scalar(coset_gen)[:, None], (L, ext_n)),
-    )
+    cpow = dstate["cpow"]
+    cpow_inv = dstate["cpow_inv"]
+    xcoset = dstate["xcoset"]
 
     terms = PROTO.build_terms(shape)
     ny = len(terms)
-    y_pows = [1] * ny
-    for i in range(1, ny):
-        y_pows[i] = y_pows[i - 1] * y % FR.p
-    y_w = [y_pows[ny - 1 - i] for i in range(ny)]
+    # term weights y^(ny-1-ti) live on device: ONE scalar upload + a
+    # log-depth power scan + one static take against the pk's term plan,
+    # instead of a host encode+transfer per term batch (~40 x 25 ms)
+    ypows_dev = F.power_series(FR, _enc_mont_scalar(y), ny)
+    ws_all = jnp.take(ypows_dev, dstate["term_plan"], axis=1)
+    _ws_cursor = [0]
+
+    def y_weight(ti):
+        """(L,) device weight y^(ny-1-ti) for singleton/ragged terms."""
+        return ypows_dev[:, ny - 1 - ti]
 
     fixed_names = PROTO.fixed_poly_names(shape)
     fidx = {nm: i for i, nm in enumerate(fixed_names)}
@@ -888,14 +1005,24 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     qact_ev = coset_of([fq("q_act")])[0]
 
     def enc_ws(tis, width):
-        vals = [y_w[ti] for ti in tis] + [0] * (width - len(tis))
-        return jnp.asarray(F.encode(FR, vals, mont=True))
+        """(L, width) device term weights: the next len(tis) entries of
+        the pk's static term plan (asserted against tis — the plan and
+        this loop share grouping logic and must not drift), zero-padded
+        to the batch width."""
+        o, m = _ws_cursor[0], len(tis)
+        assert np.array_equal(dstate["term_plan_np"][o:o + m],
+                              [ny - 1 - ti for ti in tis]), \
+            "term plan out of sync with the quotient loop"
+        _ws_cursor[0] = o + m
+        w = ws_all[:, o:o + m]
+        if m < width:
+            w = jnp.pad(w, [(0, 0), (0, width - m)])
+        return w
 
     # ---- gate + challenge terms, in fixed-width batches -------------------
     # Under a mesh, batch widths round up to a multiple of the device
     # count so sharded_term_batch can split the term axis evenly; padding
     # lanes carry weight 0 (and zero stacks), contributing nothing.
-    nd = 1 if mesh is None else mesh.shape[mesh_axis]
     GATE_BATCH = -(-8 // nd) * nd
     PERMJ = -(-4 // nd) * nd
     if mesh is not None:
@@ -960,7 +1087,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             [h_ev, l_ev], [qact_ev, beta_lm])
     for ti, g, cols in lk_ragged:
         lstack = jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
-        acc = _j_lookup_h_term(dom_ext, acc, _enc_mont_scalar(y_w[ti]),
+        acc = _j_lookup_h_term(dom_ext, acc, y_weight(ti),
                                polys[f"lookup_h{g}"], lstack, fco("q_act"),
                                cpow, beta_lm)
 
@@ -1003,7 +1130,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     for ti, j in pc_ragged:
         idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
         acc = _j_perm_chunk_term(
-            dom_ext, acc, _enc_mont_scalar(y_w[ti]), polys[f"perm_z{j}"],
+            dom_ext, acc, y_weight(ti), polys[f"perm_z{j}"],
             jnp.stack([polys[perm_col_name(i)] for i in idxs], axis=1),
             jnp.stack([polys[f"sigma{i}"] for i in idxs], axis=1),
             fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
@@ -1023,7 +1150,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
 
     # ---- singleton terms ---------------------------------------------------
     for ti, (kind, arg) in enumerate(terms):
-        w = _enc_mont_scalar(y_w[ti])
+        w = y_weight(ti)
         if kind == "lookup_table":
             acc = _j_lookup_table_term(
                 dom_ext, acc, w, polys["lookup_g"], fco("table"),
@@ -1055,14 +1182,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     yield  # quotient term batches dispatched
     jax.block_until_ready(acc)
     _timer.mark("quot_terms")
-    zh_cycle = []
-    gn = pow(coset_gen, n, FR.p)
-    for j in range(EXT_FACTOR):
-        val = (gn * pow(dom_ext.omega, n * j, FR.p) - 1) % FR.p
-        zh_cycle.append(pow(val, FR.p - 2, FR.p))
-    zh_inv = jnp.tile(
-        jnp.asarray(F.encode(FR, zh_cycle, mont=True)),
-        (1, ext_n // EXT_FACTOR))
+    zh_inv = dstate["zh_inv"]
     if mesh is None:
         h_coeffs_full = _j_quot_finish(dom_ext, acc, zh_inv, cpow_inv)
     else:
@@ -1095,8 +1215,16 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         3: x * pow(omega, 3, FR.p) % FR.p,
         PROTO.ROT_LAST: x * pow(omega, u, FR.p) % FR.p,
     }
-    xpows = {r: F.power_series(FR, _enc_mont_scalar(z), n)
-             for r, z in points.items()}
+    # ONE upload for all opening points (and their inverses, used by the
+    # SHPLONK exact divisions below) instead of a transfer per rotation
+    rot_keys = list(points)
+    pts_host = [points[r] for r in rot_keys]
+    inv_host = [pow(z, FR.p - 2, FR.p) for z in pts_host]
+    pts_enc = jnp.asarray(F.encode(FR, pts_host + inv_host, mont=True))
+    enc_pt = {r: pts_enc[:, i] for i, r in enumerate(rot_keys)}
+    enc_pt_inv = {r: pts_enc[:, len(rot_keys) + i]
+                  for i, r in enumerate(rot_keys)}
+    xpows = {r: F.power_series(FR, enc_pt[r], n) for r in rot_keys}
 
     # batch evals per rotation: one device call per opening point
     by_rot = {}
@@ -1113,10 +1241,15 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
                                                            xpows[rot])))
             del stack
     yield  # evaluation batches dispatched
-    for rot, chunk, evs in pending_evs:
-        vals = F.decode(FR, evs, mont=True)
-        for nm, vv in zip(chunk, vals):
-            evals[(nm, rot)] = vv
+    # ONE device->host transfer for every evaluation in the schedule
+    all_vals = F.decode(
+        FR, jnp.concatenate([e for _, _, e in pending_evs], axis=1),
+        mont=True)
+    pos = 0
+    for rot, chunk, _ in pending_evs:
+        for nm in chunk:
+            evals[(nm, rot)] = all_vals[pos]
+            pos += 1
     del pending_evs
     for name, rot in sched:
         tr.write_scalar(evals[(name, rot)])
@@ -1152,33 +1285,42 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     set_pts = []  # opening points per set
     set_evals = []  # folded evals per set (host ints, aligned with pts)
     h_list = []  # (f_i - r_i) / Z_{S_i}
-    zero_ce = _enc_mont_scalar(0)
+    zero_ce = jnp.zeros((L,), dtype=jnp.uint32)
     CB = 64  # bound the stacked-combination peak memory
+    # per-set host math (folded evals + interpolation coefficients) runs
+    # up front so ALL its scalars ride ONE upload; v-powers fold on
+    # device from a single v scalar
+    v_m = _enc_mont_scalar(v)
+    vpows_dev = F.power_series(
+        FR, v_m, max(len(names) for _, names in sets))
+    rc_all, set_rc_span = [], []
     for rots, names in sets:
         vpows_host = [pow(v, j, FR.p) for j in range(len(names))]
-        comb = None
-        for s in range(0, len(names), CB):
-            stack = jnp.stack([polys[nm] for nm in names[s:s + CB]], axis=1)
-            vpows = jnp.asarray(
-                F.encode(FR, vpows_host[s:s + CB], mont=True))
-            part = _j_combine(stack, vpows)
-            del stack
-            comb = part if comb is None else _j_acc_add(comb, part)
         pts = [points[r] for r in rots]
         fe = [sum(vw * evals[(nm, r)] for vw, nm in zip(vpows_host, names))
               % FR.p for r in rots]
         rc = PROTO.lagrange_coeffs(pts, fe, FR.p)
-        numer = _j_sub_low(len(rc), comb,
-                           jnp.asarray(F.encode(FR, rc, mont=True)))
-        # exact division by Z_{S_i}(X) = prod (X - pt): the numerator
-        # vanishes on S_i, so each linear step divides exactly (ce = 0)
-        for z in pts:
-            numer = _j_divide_linear(
-                numer, zero_ce, _enc_mont_scalar(z),
-                _enc_mont_scalar(pow(z, FR.p - 2, FR.p)))
-        f_polys.append(comb)
+        set_rc_span.append((len(rc_all), len(rc)))
+        rc_all += rc
         set_pts.append(pts)
         set_evals.append(fe)
+    rc_enc = jnp.asarray(F.encode(FR, rc_all, mont=True))
+    for si, (rots, names) in enumerate(sets):
+        comb = None
+        for s in range(0, len(names), CB):
+            chunk = names[s:s + CB]
+            stack = jnp.stack([polys[nm] for nm in chunk], axis=1)
+            part = _j_combine(stack, vpows_dev[:, s:s + len(chunk)])
+            del stack
+            comb = part if comb is None else _j_acc_add(comb, part)
+        off, nrc = set_rc_span[si]
+        numer = _j_sub_low(nrc, comb, rc_enc[:, off:off + nrc])
+        # exact division by Z_{S_i}(X) = prod (X - pt): the numerator
+        # vanishes on S_i, so each linear step divides exactly (ce = 0)
+        for r in rots:
+            numer = _j_divide_linear(numer, zero_ce, enc_pt[r],
+                                     enc_pt_inv[r])
+        f_polys.append(comb)
         h_list.append(numer)
 
     ypows_host = [pow(y2, i, FR.p) for i in range(len(sets))]
@@ -1206,12 +1348,14 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         scal.append(w)
         c0 = (c0 + w * PROTO.lagrange_eval(pts, fe, u_pt, FR.p)) % FR.p
     scal.append((-z_t) % FR.p)
+    # one upload for the set weights + the division scalars
+    tail_enc = jnp.asarray(F.encode(
+        FR, scal + [c0, u_pt, pow(u_pt, FR.p - 2, FR.p)], mont=True))
     l_comb = _j_combine(
-        jnp.stack(f_polys + [h_poly], axis=1),
-        jnp.asarray(F.encode(FR, scal, mont=True)))
+        jnp.stack(f_polys + [h_poly], axis=1), tail_enc[:, :len(scal)])
     w_poly = _j_divide_linear(
-        l_comb, _enc_mont_scalar(c0), _enc_mont_scalar(u_pt),
-        _enc_mont_scalar(pow(u_pt, FR.p - 2, FR.p)))
+        l_comb, tail_enc[:, len(scal)], tail_enc[:, len(scal) + 1],
+        tail_enc[:, len(scal) + 2])
     fin_w = commit_coeffs_async(w_poly[:, None])
     yield  # SHPLONK W commit dispatched
     for pt in fin_w():

@@ -316,6 +316,50 @@ def mont_sqr(field: Field, a):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def mont_reduce(field: Field, t):
+    """Montgomery-reduce a double-width value: t (2L, *batch) uint32
+    13-bit limbs -> t * R^-1 mod p as (L, *batch) reduced limbs. The
+    reduction half of mont_mul, exposed for callers that build the
+    double-width input themselves (device-side uniform sampling).
+    Precondition (as for any REDC): t < p*R, i.e. the top limbs must not
+    make t exceed ~2^513 — REDC returns (t + m*p)/R < t/R + p, so the
+    single conditional subtract only suffices for t/R < p."""
+    L = NLIMBS
+    batch = t.shape[1:]
+    mu = jnp.uint32(field.mu)
+    p_vec = _pvec(field, len(batch))
+
+    def round_fn(t, k):
+        tk = jax.lax.dynamic_index_in_dim(t, k, axis=0, keepdims=False)
+        m = ((tk & LIMB_MASK) * mu) & LIMB_MASK
+        corr = m[None] * p_vec
+        window = jax.lax.dynamic_slice_in_dim(t, k, L, axis=0) + corr
+        carry = (window[0]) >> LIMB_BITS
+        window = window.at[1].add(carry)
+        window = window.at[0].set(jnp.zeros_like(carry))
+        return jax.lax.dynamic_update_slice_in_dim(t, window, k, axis=0), None
+
+    t, _ = jax.lax.scan(round_fn, t, jnp.arange(L, dtype=jnp.int32))
+    res, _ = _carry_chain(t[L:])
+    return _cond_sub_p(field, res)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def rand_mont(field: Field, key, shape: tuple):
+    """Uniform field elements sampled ON DEVICE: threefry bits -> 2L-1
+    13-bit limbs (a uniform 507-bit integer U < p*R) -> mont_reduce
+    gives U*R^-1 mod p, uniform up to bias < 2^-250. Returned limbs are
+    treated as Montgomery form (any uniform element is uniform in either
+    form). Replaces host randrange + encode + a device transfer per
+    blinding draw (the remote-TPU tunnel charges ~25 ms per transfer)."""
+    import jax.random as _jr
+    bits = _jr.bits(key, (2 * NLIMBS,) + tuple(shape), dtype=U32)
+    bits = bits & LIMB_MASK
+    # zero the top limb: keeps U < 2^507 < p*R (see mont_reduce)
+    return mont_reduce(field, bits.at[2 * NLIMBS - 1].set(0))
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def to_mont(field: Field, a):
     """standard -> Montgomery form (multiply by R^2, mont-reduce)."""
     r2 = _const(field, field.r2, a)
