@@ -167,3 +167,38 @@ def test_msm_tab_row_offset():
     tail = C.decode_points(
         jnp.stack(M.msm_tab(tab, sc_tail2, row_offset=off)))[0]
     assert main.add(tail) == M.msm_host(pts, scalars)
+
+
+def test_msm_tab_affine_tree_matches_jacobian():
+    """The batch-inverted affine tree reduction (ops/curve.
+    tree_reduce_affine, the default table-MSM reducer) matches the
+    complete-Jacobian tree bit for bit, including zero scalars
+    (infinity lanes), p-1 (negation) and narrow tiers."""
+    import random
+    from zkfhe_tpu.ops import msm as M
+    random.seed(31)
+    pts = [C.G1_GEN.mul(i + 5) for i in range(11)]
+    P_ = C.encode_points(pts)
+    tab = M.build_table((P_[0], P_[1]), max_bits=256)
+    scal = [random.randrange(FR.p) for _ in range(11)]
+    scal[2] = 0
+    scal[5] = FR.p - 1
+    sc = jnp.asarray(F.encode(FR, scal)).reshape(F.NLIMBS, 1, 11)
+    for mb, ss in ((256, scal), (32, [s % (1 << 32) for s in scal])):
+        sa = jnp.asarray(F.encode(FR, ss)).reshape(F.NLIMBS, 1, 11)
+        jac = M._j_msm_tab(tab.XY, sa, tab.c, tab.windows, mb, 0)
+        got = C.decode_points(
+            (np.asarray(jac[0]), np.asarray(jac[1]), np.asarray(jac[2])))[0]
+        assert got == M.msm_host(pts, ss)
+    # A/B: affine vs jacobian reducer produce the same group elements
+    old = M.TREE_MODE
+    try:
+        M.TREE_MODE = "jacobian"
+        M._j_msm_tab.clear_cache()
+        jac2 = M._j_msm_tab(tab.XY, sc, tab.c, tab.windows, 256, 0)
+        gj = C.decode_points((np.asarray(jac2[0]), np.asarray(jac2[1]),
+                              np.asarray(jac2[2])))[0]
+        assert gj == M.msm_host(pts, scal)
+    finally:
+        M.TREE_MODE = old
+        M._j_msm_tab.clear_cache()

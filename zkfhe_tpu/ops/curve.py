@@ -419,6 +419,69 @@ def tree_reduce_points_halves(P, first_mixed: bool = False):
     return X[..., 0], Y[..., 0], Z[..., 0]
 
 
+def _affine_add_level(X1, Y1, L1, X2, Y2, L2):
+    """One level of complete AFFINE pairwise adds (batch-inverted).
+
+    Inputs: coordinate arrays (L, *batch) + boolean live masks (*batch).
+    Affine chord/tangent addition costs ~5 field muls per pair plus a
+    share of ONE batched inversion, vs ~16 muls for the complete
+    Jacobian add — and carries 2 coordinates instead of 3 through the
+    whole tree (a third less HBM traffic per level). Completeness
+    (infinity lanes, P=Q doubling, P=-Q) is handled with selects;
+    y == 0 cannot occur on BN254 G1 (prime order, no 2-torsion), so the
+    tangent denominator 2y is safe for live lanes."""
+    f = FQ
+    both = L1 & L2
+    ex = F.eq(X1, X2)
+    ey = F.eq(Y1, Y2)
+    dbl = both & ex & ey
+    cancel = both & ex & ~ey  # P = -Q -> infinity
+    denom = F.select(dbl, F.double(f, Y1), F.sub(f, X2, X1))
+    # dead / cancelled lanes get denominator 1 so the batch inversion
+    # stays well-defined
+    dead = ~both | cancel
+    one = F.vary_like(F.to_mont(f, F.const(f, 1, X1.shape[1:])), X1)
+    denom = F.select(dead, jnp.asarray(one), denom)
+    dinv = F.batch_inv(f, denom)
+    x1sq = F.mont_sqr(f, X1)
+    num = F.select(
+        dbl, F.add(f, F.double(f, x1sq), x1sq), F.sub(f, Y2, Y1))
+    lam = F.mont_mul(f, num, dinv)
+    X3 = F.sub(f, F.sub(f, F.mont_sqr(f, lam), X1), X2)
+    Y3 = F.sub(f, F.mont_mul(f, lam, F.sub(f, X1, X3)), Y1)
+    # pass-throughs: only one side live
+    X3 = F.select(both & ~cancel, X3, F.select(L1, X1, X2))
+    Y3 = F.select(both & ~cancel, Y3, F.select(L1, Y1, Y2))
+    live = (L1 | L2) & ~cancel
+    return X3, Y3, live
+
+
+def tree_reduce_affine(P, flags=None):
+    """Sum an affine point batch along the LAST axis via log2(n) levels
+    of batch-inverted affine adds (see _affine_add_level). P = (X, Y, Z)
+    with Z the 0/1-flag encoding of infinity (as produced by the table
+    MSM gather); returns a Jacobian (X, Y, Z) triple of shape [..., ]
+    (last axis reduced away). The result equals
+    tree_reduce_points_halves(P) exactly (tests/test_ntt_msm.py)."""
+    X, Y, Z = P
+    live = ~F.is_zero(Z) if flags is None else flags
+    f = FQ
+    while X.shape[-1] > 1:
+        m = X.shape[-1]
+        if m % 2:
+            X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, 1)])
+            Y = jnp.pad(Y, [(0, 0)] * (Y.ndim - 1) + [(0, 1)])
+            live = jnp.pad(live, [(0, 0)] * (live.ndim - 1) + [(0, 1)])
+            m += 1
+        h = m // 2
+        X, Y, live = _affine_add_level(
+            X[..., :h], Y[..., :h], live[..., :h],
+            X[..., h:], Y[..., h:], live[..., h:])
+    one = F.vary_like(F.to_mont(f, F.const(f, 1, X.shape[1:])), X)
+    Zout = F.select(live, jnp.asarray(one), jnp.zeros_like(X))
+    return X[..., 0], Y[..., 0], Zout[..., 0]
+
+
 def tree_reduce_points(P):
     """Sum a batch of Jacobian points along the LAST axis by pairwise tree
     reduction (log2(n) levels of vectorized complete adds)."""

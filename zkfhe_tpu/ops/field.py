@@ -269,14 +269,28 @@ def mont_mul(field: Field, a, b):
     mu = jnp.uint32(field.mu)
     p_vec = _pvec(field, len(batch))
 
-    # schoolbook product into (2L, *batch): shifted copies summed as a tree
-    prods = a[:, None] * b[None, :]  # (L, L, *batch), each < 2^26
-    rows = [
-        jnp.pad(prods[i], [(i, L - 1 - i)] + [(0, 0)] * len(batch))
-        for i in range(L)
-    ]
-    t = jnp.sum(jnp.stack(rows), axis=0)  # (2L-1, *batch) < 2^30.4
-    t = jnp.pad(t, [(0, 1)] + [(0, 0)] * len(batch))  # (2L, *batch)
+    # schoolbook product into (2L, *batch). Two shapes of the same math:
+    # the outer-product form materializes an (L, L, *batch) transient —
+    # fastest for normal batches but 11.6 GB at keygen's k=15 column
+    # matrix (OOM observed 2026-08-19); huge batches instead accumulate
+    # limb-by-limb in a scan whose working set is (2L, *batch).
+    if nelems * L * L * 4 > (1 << 31):
+        def pstep(t, i):
+            ai = jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False)
+            seg = jax.lax.dynamic_slice_in_dim(t, i, L, axis=0) \
+                + ai[None] * b
+            return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=0), \
+                None
+        t = jnp.zeros((2 * L,) + batch, dtype=jnp.uint32)
+        t, _ = jax.lax.scan(pstep, t, jnp.arange(L, dtype=jnp.int32))
+    else:
+        prods = a[:, None] * b[None, :]  # (L, L, *batch), each < 2^26
+        rows = [
+            jnp.pad(prods[i], [(i, L - 1 - i)] + [(0, 0)] * len(batch))
+            for i in range(L)
+        ]
+        t = jnp.sum(jnp.stack(rows), axis=0)  # (2L-1, *batch) < 2^30.4
+        t = jnp.pad(t, [(0, 1)] + [(0, 0)] * len(batch))  # (2L, *batch)
 
     # interleaved Montgomery reduction: sequential over L rounds (inherent),
     # each round vectorized over limbs. Unrolled mode emits straight-line
