@@ -390,10 +390,10 @@ def prove_batch(pk: ProvingKey, srs: SRS, circuit_fn, inputs_list,
     def coset_of(names):
         missing = [nm for nm in names if nm not in cos_cache]
         out = {}
-        for s2 in range(0, len(missing), 8):
-            grp2 = missing[s2:s2 + 8]
+        for s2 in range(0, len(missing), PV.COS_B):
+            grp2 = missing[s2:s2 + PV.COS_B]
             stack = jnp.stack([polys.get(nm) for nm in grp2]
-                              + [zero_col] * (8 - len(grp2)), axis=2)
+                              + [zero_col] * (PV.COS_B - len(grp2)), axis=2)
             ev = vm_coset(stack, cpow)
             for i2, nm in enumerate(grp2):
                 out[nm] = ev[:, :, i2]

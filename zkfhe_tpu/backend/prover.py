@@ -60,6 +60,11 @@ def _log(msg):
 # this in the round JSON)
 LAST_STAGES: dict = {}
 
+# polys per coset-NTT launch in the quotient cache fill: wider batches
+# cut dispatch count (~600 polys / COS_B launches); one launch's stack
+# is L*COS_B*8n*4 bytes (160 MB at k=13 with COS_B=16)
+COS_B = int(os.environ.get("ZKFHE_COSET_BATCH", "16"))
+
 
 def _rand_field_rows(rng, rows, cols):
     vals = [rng.randrange(FR.p) for _ in range(rows * cols)]
@@ -986,10 +991,10 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     def coset_of(names):
         missing = [nm for nm in names if nm not in cos_cache]
         out = {}
-        for s2 in range(0, len(missing), 8):
-            grp2 = missing[s2:s2 + 8]
+        for s2 in range(0, len(missing), COS_B):
+            grp2 = missing[s2:s2 + COS_B]
             stack = jnp.stack([polys[nm] for nm in grp2]
-                              + [zero_col] * (8 - len(grp2)), axis=1)
+                              + [zero_col] * (COS_B - len(grp2)), axis=1)
             ev = coset_batch(stack)
             for i2, nm in enumerate(grp2):
                 out[nm] = ev[:, i2]
