@@ -136,23 +136,29 @@ def _main():
     # jax.devices() hang forever rather than raise (observed 2026-08-18),
     # and an in-process hang would leave only the watchdog's failure JSON
     # instead of a CPU-fallback data point.
-    stage("backend_probe", 220)
+    # Tunnel init latency is wildly variable (12 s to >300 s observed on
+    # the same host within minutes), so probe with a generous budget and
+    # one retry — a warm tunnel daemon usually makes the retry fast.
+    stage("backend_probe", 740)
     import subprocess
-    cpu_fallback = False
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp, numpy as np;"
-             "print(jax.devices());"
-             "print(np.asarray(jnp.arange(4) + 2))"],
-            timeout=180, capture_output=True, text=True)
-        log("probe rc:", probe.returncode, probe.stdout.strip()[-200:],
-            probe.stderr.strip()[-300:])
-        if probe.returncode != 0 or "[2 3 4 5]" not in probe.stdout:
-            cpu_fallback = True
-    except subprocess.TimeoutExpired:
-        log("backend probe HUNG (>180s) — falling back to CPU")
-        cpu_fallback = True
+    cpu_fallback = True
+    for attempt in range(2):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "print(jax.devices());"
+                 "print(np.asarray(jnp.arange(4) + 2))"],
+                timeout=330, capture_output=True, text=True)
+            log(f"probe[{attempt}] rc:", probe.returncode,
+                probe.stdout.strip()[-200:], probe.stderr.strip()[-300:])
+            if probe.returncode == 0 and "[2 3 4 5]" in probe.stdout:
+                cpu_fallback = False
+                break
+        except subprocess.TimeoutExpired:
+            log(f"backend probe[{attempt}] HUNG (>330s)")
+    if cpu_fallback:
+        log("backend unusable after 2 probes — falling back to CPU")
 
     stage("backend_init", 240)
     import jax
