@@ -160,7 +160,11 @@ def _main():
     if cpu_fallback:
         log("backend unusable after 2 probes — falling back to CPU")
 
-    stage("backend_init", 240)
+    # in-process init + first dispatch each pay their own tunnel setup
+    # (observed 12 s - 5 min on one host within minutes), so these
+    # budgets are generous; the subprocess probe above already proved
+    # the backend is alive, these stages only hedge a mid-run wedge
+    stage("backend_init", 600)
     import jax
     if cpu_fallback:
         jax.config.update("jax_platforms", "cpu")
@@ -194,7 +198,7 @@ def _main():
     # Wedged-worker probe: the axon TPU worker can get into a state where
     # every dispatch hangs forever (observed after back-to-back heavy
     # sessions); a trivial op under the watchdog catches it up front.
-    stage("device_probe", 180)
+    stage("device_probe", 600)
     np.asarray(jnp.arange(4) + 1)
     log("device probe OK")
 
