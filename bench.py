@@ -91,7 +91,8 @@ def _rand_narrow_scalars(np, F, K, n, bits=32, seed=0):
 def _kernel_metrics(k, log):
     """The BASELINE.json metric: MSM pts/s/chip and NTT butterflies/s,
     measured on the REAL hot kernels (fixed-base table MSM commit, coset
-    NTT) at the bench shapes, warm."""
+    NTT) at the bench shapes, warm. Every TAB_TIER is measured (VERDICT
+    r3 next #5: the round-3 fallback recorded a cold-dominated number)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -105,21 +106,33 @@ def _kernel_metrics(k, log):
     out = {}
     if srs.g1_lag is not None:
         tab = M.build_table((srs.g1_lag[0][:, :n], srs.g1_lag[1][:, :n]))
-        K = 8
-        sc = jnp.asarray(_rand_narrow_scalars(np, F, K, n, bits=32))
-        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
-        t0 = time.time()
-        jax.block_until_ready(jnp.stack(M.msm_tab(tab, sc, max_bits=32)))
-        dt = time.time() - t0
-        out["msm_pts_per_s_per_chip"] = round(K * n / dt, 1)
-        log(f"table MSM (32-bit tier, K={K}, n={n}): {K*n/dt:.0f} pts/s")
+        K = 4
+        tiers = {}
+        for bits in M.TAB_TIERS:
+            sc = jnp.asarray(
+                _rand_narrow_scalars(np, F, K, n, bits=min(bits, 254)))
+            # time-to-host: block_until_ready on the axon remote device
+            # does NOT wait for execution (the round-3 47M-pts/s claim
+            # was this artifact); np.asarray is what the prover's
+            # point-decode pays anyway
+            np.asarray(M.msm_tab_stacked(tab, sc, max_bits=bits))
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                np.asarray(M.msm_tab_stacked(tab, sc, max_bits=bits))
+            dt = (time.time() - t0) / reps
+            tiers[f"{bits}b"] = round(K * n / dt, 1)
+            log(f"table MSM ({bits}-bit tier, K={K}, n={n}): "
+                f"{dt*1e3:.1f}ms warm, {K*n/dt:,.0f} pts/s")
+        out["msm_pts_per_s_per_chip"] = tiers.get("32b")
+        out["msm_tier_pts_per_s"] = tiers
     dom = N.Domain.new(k + 3)
     K = 8
     a = jnp.asarray(_rand_narrow_scalars(np, F, K, dom.n, bits=13, seed=1))
     ntt_j = jax.jit(N.ntt, static_argnums=0)
-    jax.block_until_ready(ntt_j(dom, a))
+    np.asarray(ntt_j(dom, a))  # warm (and force: see MSM note above)
     t0 = time.time()
-    jax.block_until_ready(ntt_j(dom, a))
+    np.asarray(ntt_j(dom, a))
     dt = time.time() - t0
     bflies = K * (dom.n // 2) * (k + 3)
     out["ntt_butterflies_per_s"] = round(bflies / dt, 1)
@@ -207,118 +220,44 @@ def _main():
         # leaves a labeled data point instead of rc=1 and nothing
         k = int(os.environ.get("ZKFHE_BENCH_CPU_K", "10"))
         n = int(os.environ.get("ZKFHE_BENCH_CPU_N", "64"))
-        suffix = f"k{k}_cpu_fallback"
     else:
         k = int(os.environ.get("ZKFHE_BENCH_K", "13"))
         n = int(os.environ.get("ZKFHE_BENCH_N", "1024"))
-        suffix = f"k{k}"
     q = int(os.environ.get("ZKFHE_BENCH_Q", "0"))  # 0 = BfvParams default
-    if q:
-        suffix += f"_q{q.bit_length()}b"
-    STATE["suffix"] = suffix
     STATE["cpu_fallback"] = cpu_fallback
 
-    try:
-        stage("inputs", 600)
-        params = bfv.BfvParams(n=n, q=q) if q else bfv.BfvParams(n=n)
-        t0 = time.time()
-        cin_path = os.path.join("data", "bfv", "bfv.in")
-        if n == 1024 and not q and os.path.exists(cin_path):
-            cin = bfv.CircuitInput.from_json(cin_path)
-        else:
-            cin = bfv.generate_input(params, seed=1)
-        inputs = cin.to_arrays(params)
-        circuit = bfv.make_bfv_circuit(params)
-        log(f"inputs ready ({time.time()-t0:.1f}s)")
+    # ---- e2e retry ladder (VERDICT r3 next #1b/#6): the headline metric
+    # (bfv_proof_time_*) must survive any single kernel's failure. Round 3
+    # lost it to an OOM in the affine MSM reducer; the ladder now retries
+    # the SAME pipeline with the jacobian reducer, then a reduced-k run,
+    # before ever falling back to a kernel microbench.
+    ladder = [("", k, n, {})]
+    if not os.environ.get("ZKFHE_MSM_TREE"):
+        ladder.append(("retry_jacobian", k, n,
+                       {"ZKFHE_MSM_TREE": "jacobian"}))
+    if k > 10:
+        ladder.append(("reduced", 10, 64,
+                       {"ZKFHE_MSM_TREE": "jacobian"}))
 
-        stage("srs", 600)
-        t0 = time.time()
-        srs = SRS.load_or_generate(k, "params")
-        log(f"srs ready ({time.time()-t0:.1f}s)")
-
-        stage("keygen", 2400)
-        t0 = time.time()
-        vk_path = os.path.join("data", f"bench_k{k}_n{n}.vk.npz")
-        pk_path = os.path.join("data", f"bench_k{k}_n{n}.pk.npz")
-        if os.path.exists(vk_path) and os.path.exists(pk_path):
-            vk = KG.load_vk(vk_path)
-            pk = KG.load_pk(pk_path, vk, circuit, inputs)
-            log(f"pk/vk loaded from cache ({time.time()-t0:.1f}s)")
-        else:
-            pk = KG.keygen(circuit, inputs, k, srs)
-            KG.save_vk(pk.vk, vk_path)
-            KG.save_pk(pk, pk_path)
-        log(f"keygen done ({time.time()-t0:.1f}s); "
-            f"advice={pk.vk.shape['num_advice']} "
-            f"perm={pk.vk.shape['num_perm_cols']}")
-
-        # warm-up proof compiles everything; second proof is the measure
-        stage("warmup_prove", 2700)
-        t0 = time.time()
-        proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"warmup")
-        log(f"warmup prove done ({time.time()-t0:.1f}s), "
-            f"{len(proof)} bytes")
-
-        stage("bench_prove", 1500)
-        t0 = time.time()
-        proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
-        prove_s = time.time() - t0
-        log(f"bench prove: {prove_s:.3f}s")
-        stages = dict(PV.LAST_STAGES)
-        log(f"stages: {stages}")
-        STATE["prove_s"] = prove_s
-        STATE["extras"] = {
-            "proof_bytes": len(proof),
-            "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
-        }
-
-        stage("verify", 1200)
-        gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
-        _, instance = TC.make_witgen(circuit)(inputs, gamma0)
-        inst = F.decode(F.FR, instance)
-        t0 = time.time()
-        ok = VF.verify(pk.vk, proof, inst, verbose=True)
-        verify_cold_s = time.time() - t0
-        t0 = time.time()
-        ok2 = VF.verify(pk.vk, proof, inst)
-        verify_s = time.time() - t0
-        log(f"verify: {ok} (cold {verify_cold_s:.3f}s, warm {verify_s:.3f}s)")
-        assert ok and ok2, "proof did not verify"
-        STATE["extras"]["verify_s"] = round(verify_s, 4)
-        STATE["extras"]["verify_cold_s"] = round(verify_cold_s, 4)
-
-        stage("kernel_metrics", 900)
+    for attempt, kk, nn, env in ladder:
+        for ek, ev in env.items():
+            os.environ[ek] = ev
+        suffix = f"k{kk}"
+        if q:
+            suffix += f"_q{q.bit_length()}b"
+        if cpu_fallback:
+            suffix += "_cpu_fallback"
+        if attempt == "reduced":
+            suffix += "_reduced"
+        STATE["suffix"] = suffix
         try:
-            STATE["extras"].update(_kernel_metrics(k, log))
+            rc = _run_pipeline(kk, nn, q, suffix, cpu_fallback, attempt,
+                               log)
+            return rc
         except Exception:
-            log("kernel metrics failed:\n" + traceback.format_exc())
-
-        # evidence produced by the manual runners (scripts/bench_k15.py:
-        # k=15 / N=2048 / 120-bit-Q e2e; scripts/bench_batch.py: vmapped
-        # batch-proving throughput) — surfaced here so the round JSON
-        # carries it without risking the headline measurement on their
-        # (compile-heavy) runtimes
-        for name in ("k15", "batch"):
-            try:
-                path = os.path.join("data", f"{name}_result.json")
-                if os.path.exists(path):
-                    with open(path) as f:
-                        STATE["extras"][name] = json.load(f)
-            except Exception:
-                log(f"{name} extras failed:\n" + traceback.format_exc())
-        signal.alarm(0)
-
-        emit({
-            "metric": f"bfv_proof_time_{suffix}",
-            "value": round(prove_s, 4),
-            "unit": "s",
-            "vs_baseline": (round(BASELINE_S / prove_s, 3)
-                            if not cpu_fallback else 0.0),
-            **STATE["extras"],
-        })
-        return 0
-    except Exception:
-        log("full pipeline failed:\n" + traceback.format_exc())
+            log(f"pipeline attempt '{attempt or 'default'}' failed:\n"
+                + traceback.format_exc())
+            STATE.pop("prove_s", None)
 
     # fallback: kernel metric only (MSM throughput, pts/s/chip)
     try:
@@ -350,6 +289,123 @@ def _main():
         emit({"metric": "bench_failed", "value": 0, "unit": "",
               "vs_baseline": 0.0})
         return 1
+
+
+def _run_pipeline(k, n, q, suffix, cpu_fallback, attempt, log):
+    """One full keygen(cached)->prove->verify measurement. Raises on any
+    failure so the ladder in _main can retry with a different config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from zkfhe_tpu.models import bfv
+    from zkfhe_tpu.ops import field as F
+    from zkfhe_tpu.trace import compile as TC
+    from zkfhe_tpu.backend import keygen as KG
+    from zkfhe_tpu.backend import prover as PV
+    from zkfhe_tpu.backend import srs as SRS
+    from zkfhe_tpu.backend import verifier as VF
+
+    stage("inputs", 600)
+    params = bfv.BfvParams(n=n, q=q) if q else bfv.BfvParams(n=n)
+    t0 = time.time()
+    cin_path = os.path.join("data", "bfv", "bfv.in")
+    if n == 1024 and not q and os.path.exists(cin_path):
+        cin = bfv.CircuitInput.from_json(cin_path)
+    else:
+        cin = bfv.generate_input(params, seed=1)
+    inputs = cin.to_arrays(params)
+    circuit = bfv.make_bfv_circuit(params)
+    log(f"inputs ready ({time.time()-t0:.1f}s)")
+
+    stage("srs", 600)
+    t0 = time.time()
+    srs = SRS.load_or_generate(k, "params")
+    log(f"srs ready ({time.time()-t0:.1f}s)")
+
+    stage("keygen", 2400)
+    t0 = time.time()
+    vk_path = os.path.join("data", f"bench_k{k}_n{n}.vk.npz")
+    pk_path = os.path.join("data", f"bench_k{k}_n{n}.pk.npz")
+    if os.path.exists(vk_path) and os.path.exists(pk_path):
+        vk = KG.load_vk(vk_path)
+        pk = KG.load_pk(pk_path, vk, circuit, inputs)
+        log(f"pk/vk loaded from cache ({time.time()-t0:.1f}s)")
+    else:
+        pk = KG.keygen(circuit, inputs, k, srs)
+        KG.save_vk(pk.vk, vk_path)
+        KG.save_pk(pk, pk_path)
+    log(f"keygen done ({time.time()-t0:.1f}s); "
+        f"advice={pk.vk.shape['num_advice']} "
+        f"perm={pk.vk.shape['num_perm_cols']}")
+
+    # warm-up proof compiles everything; second proof is the measure
+    stage("warmup_prove", 2700)
+    t0 = time.time()
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"warmup")
+    log(f"warmup prove done ({time.time()-t0:.1f}s), "
+        f"{len(proof)} bytes")
+
+    stage("bench_prove", 1500)
+    t0 = time.time()
+    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
+    prove_s = time.time() - t0
+    log(f"bench prove: {prove_s:.3f}s")
+    stages = dict(PV.LAST_STAGES)
+    log(f"stages: {stages}")
+    STATE["prove_s"] = prove_s
+    STATE["extras"] = {
+        "proof_bytes": len(proof),
+        "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
+    }
+    if attempt:
+        STATE["extras"]["ladder_attempt"] = attempt
+
+    stage("verify", 1200)
+    gamma0 = jnp.zeros((F.NLIMBS,), dtype=jnp.uint32)
+    _, instance = TC.make_witgen(circuit)(inputs, gamma0)
+    inst = F.decode(F.FR, instance)
+    t0 = time.time()
+    ok = VF.verify(pk.vk, proof, inst, verbose=True)
+    verify_cold_s = time.time() - t0
+    t0 = time.time()
+    ok2 = VF.verify(pk.vk, proof, inst)
+    verify_s = time.time() - t0
+    log(f"verify: {ok} (cold {verify_cold_s:.3f}s, warm {verify_s:.3f}s)")
+    assert ok and ok2, "proof did not verify"
+    STATE["extras"]["verify_s"] = round(verify_s, 4)
+    STATE["extras"]["verify_cold_s"] = round(verify_cold_s, 4)
+
+    stage("kernel_metrics", 1200)
+    try:
+        STATE["extras"].update(_kernel_metrics(k, log))
+    except Exception:
+        log("kernel metrics failed:\n" + traceback.format_exc())
+
+    # evidence produced by the manual runners (scripts/bench_k15.py:
+    # k=15 / N=2048 / 120-bit-Q e2e; scripts/bench_batch.py: vmapped
+    # batch-proving throughput) — surfaced here so the round JSON
+    # carries it without risking the headline measurement on their
+    # (compile-heavy) runtimes
+    for name in ("k15", "batch"):
+        try:
+            path = os.path.join("data", f"{name}_result.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    STATE["extras"][name] = json.load(f)
+        except Exception:
+            log(f"{name} extras failed:\n" + traceback.format_exc())
+    signal.alarm(0)
+
+    emit({
+        "metric": f"bfv_proof_time_{suffix}",
+        "value": round(prove_s, 4),
+        "unit": "s",
+        "vs_baseline": (round(BASELINE_S / prove_s, 3)
+                        if not (cpu_fallback or attempt == "reduced")
+                        else 0.0),
+        **STATE["extras"],
+    })
+    return 0
 
 
 def main():

@@ -207,3 +207,32 @@ def test_verify_rejects_malformed_proofs(setup):
     bad[0:31] = (1).to_bytes(31, "little")
     bad[31] = 0x40
     assert not VF.verify(pk.vk, bytes(bad), inst)
+
+
+def test_fault_injection_ladder(setup):
+    """bench.py's retry ladder depends on two facts kept true here:
+    (1) ZKFHE_FAULT=commit makes the default-config prove fail,
+    (2) setting ZKFHE_MSM_TREE explicitly — exactly what the ladder's
+    retry does — clears the fault and yields a verifying proof
+    (VERDICT r3 next #6: kill-test the recovery path)."""
+    import os
+    inputs, srs, pk, _, inst = setup
+    if KG.make_committer(srs, pk.asm.n, pk.asm.u) is None:
+        pytest.skip("table committer disabled in this configuration")
+    old_fault = os.environ.get("ZKFHE_FAULT")
+    old_tree = os.environ.get("ZKFHE_MSM_TREE")
+    try:
+        os.environ["ZKFHE_FAULT"] = "commit"
+        os.environ.pop("ZKFHE_MSM_TREE", None)
+        with pytest.raises(RuntimeError, match="injected commit fault"):
+            PV.prove(pk, srs, circuit, inputs, rng_seed=b"fault")
+        os.environ["ZKFHE_MSM_TREE"] = "jacobian"
+        proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"fault")
+        assert VF.verify(pk.vk, proof, inst)
+    finally:
+        for key, val in (("ZKFHE_FAULT", old_fault),
+                         ("ZKFHE_MSM_TREE", old_tree)):
+            if val is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = val

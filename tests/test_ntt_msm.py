@@ -191,14 +191,7 @@ def test_msm_tab_affine_tree_matches_jacobian():
             (np.asarray(jac[0]), np.asarray(jac[1]), np.asarray(jac[2])))[0]
         assert got == M.msm_host(pts, ss)
     # A/B: affine vs jacobian reducer produce the same group elements
-    old = M.TREE_MODE
-    try:
-        M.TREE_MODE = "jacobian"
-        M._j_msm_tab.clear_cache()
-        jac2 = M._j_msm_tab(tab.XY, sc, tab.c, tab.windows, 256, 0)
-        gj = C.decode_points((np.asarray(jac2[0]), np.asarray(jac2[1]),
-                              np.asarray(jac2[2])))[0]
-        assert gj == M.msm_host(pts, scal)
-    finally:
-        M.TREE_MODE = old
-        M._j_msm_tab.clear_cache()
+    jac2 = M._j_msm_tab(tab.XY, sc, tab.c, tab.windows, 256, 0, "jacobian")
+    gj = C.decode_points((np.asarray(jac2[0]), np.asarray(jac2[1]),
+                          np.asarray(jac2[2])))[0]
+    assert gj == M.msm_host(pts, scal)

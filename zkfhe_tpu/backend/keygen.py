@@ -176,6 +176,13 @@ class Committer:
         caller can enqueue another proof's device stages before paying
         this commit's transfer + decode.
         """
+        # fault-injection knob for bench.py's retry-ladder test: mimics
+        # the round-3 failure mode (default commit config dies, the
+        # ladder's explicit ZKFHE_MSM_TREE retry works) so the recovery
+        # path stays kill-tested (VERDICT r3 next #6)
+        if (os.environ.get("ZKFHE_FAULT") == "commit"
+                and not os.environ.get("ZKFHE_MSM_TREE")):
+            raise RuntimeError("injected commit fault (ZKFHE_FAULT=commit)")
         L_, K, n = vals_mont.shape
         if K == 0:
             return [] if sync else (lambda: [])

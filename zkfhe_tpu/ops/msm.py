@@ -324,9 +324,23 @@ TAB_M = 1 << (TAB_C - 1)  # multiples 1..2^(c-1) per (window, point)
 # SURVEY.md §3.5) at W=19 instead of the full W=65.
 TAB_TIERS = (32, 52, 72, 256)
 
-# tree-reduction flavor for the table MSM: "affine" (batch-inverted
-# affine adds, default) or "jacobian" (complete Jacobian adds)
-TREE_MODE = os.environ.get("ZKFHE_MSM_TREE", "affine")
+# tree-reduction flavor for the table MSM: "jacobian" (complete
+# Jacobian adds, DEFAULT) or "affine" (batch-inverted affine adds).
+# Read at CALL time (not import time) so bench.py's retry ladder can
+# flip it in-process; it feeds _j_msm_tab as a static arg, so flipping
+# retraces cleanly. Jacobian is the default on measured evidence
+# (data/msm_tier_probe.json, 2026-08-19, honest time-to-host):
+# jacobian 149/196/221/847 ms vs affine 590/667/773/845 ms per
+# K=4,n=8192 launch at the 32/52/72/256-bit tiers — the affine tree's
+# fewer muls lose to the SERIAL Fermat-ladder latency inside each
+# level's batch inversion, and its full-width form additionally
+# OOM'd/failed-to-compile on v5e (round-3 bench kill; HTTP 500 with the
+# blocked batch_inv).
+def tree_mode(max_bits: int = 0) -> str:
+    mode = os.environ.get("ZKFHE_MSM_TREE", "jacobian")
+    if mode == "affine" and max_bits >= 256:
+        return "jacobian"
+    return mode
 
 
 def tab_tier_bits(max_bits: int) -> int:
@@ -390,8 +404,9 @@ def build_table(points, max_bits: int = 256, c: int = TAB_C) -> PointTable:
     return PointTable(XY=t, n=PX.shape[1], windows=W, c=c)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset,
+               mode="affine"):
     """Gather + tree-reduce MSM against a PointTable.
 
     scalars: (L, K, rows) standard-form limbs; logical point i for column
@@ -416,7 +431,7 @@ def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset):
     g = jnp.transpose(g.reshape(K, W * rows, 2 * L_), (2, 0, 1))
     gx, gy = g[:L_], g[L_:]
     gy = F.select(neg, F.sub(FQ, F.zero((K, W * rows)), gy), gy)
-    if TREE_MODE == "affine":
+    if mode == "affine":
         # batch-inverted affine tree: ~2x fewer muls and 2/3 the state
         # of the Jacobian tree (ops/curve.tree_reduce_affine)
         return jnp.stack(
@@ -436,7 +451,7 @@ def msm_tab_stacked(table: PointTable, scalars, max_bits: int = 256,
     the per-batch decode was 6x the MSM compute itself)."""
     mb = tab_tier_bits(max_bits)
     out = _j_msm_tab(table.XY, scalars, table.c, table.windows, mb,
-                     row_offset)
+                     row_offset, tree_mode(mb))
     if os.environ.get("ZKFHE_PROBE"):  # debug
         try:
             jax.block_until_ready(out)

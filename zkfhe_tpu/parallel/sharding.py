@@ -137,10 +137,11 @@ def _msm_tab_fn(mesh: Mesh, axis: str, c: int, W_full: int, mb: int,
                 nd: int):
     """Cached jitted shard_map for sharded_msm_tab (a fresh closure per
     call would recompile on every commit)."""
-    from ..ops.msm import _j_msm_tab
+    from ..ops.msm import _j_msm_tab, tree_mode
+    mode = tree_mode(mb)
 
     def local(txy, sc):
-        part = _j_msm_tab(txy[0], sc[0], c, W_full, mb, 0)
+        part = _j_msm_tab(txy[0], sc[0], c, W_full, mb, 0, mode)
         return _gather_combine_points(part, axis, nd)[None]
 
     return jax.jit(shard_map(
