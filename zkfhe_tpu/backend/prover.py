@@ -24,6 +24,7 @@ dispatch dominate otherwise.
 from __future__ import annotations
 
 import functools
+import time
 import os
 
 import numpy as np
@@ -964,7 +965,25 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     # terms then permutation chunks — sigma every prove): 14 s of the
     # measured quotient stage. Cost: ~5 MB x #polys device residency,
     # freed right after the quotient accumulation.
-    cos_cache = {}
+    #
+    # STATIC polys (fixed{i}, sigma{i} — constant per pk) additionally
+    # persist their cosets on the pk across proves, exactly as halo2's
+    # ProvingKey stores extended-domain evaluations of fixed/permutation
+    # polynomials [dep halo2-axiom plonk/keygen.rs, SURVEY.md §2.2
+    # "Keygen (pk/vk)"]: at k=13 they are 342 of the ~580 coset NTTs in
+    # the measured 32.7 s quot_terms stage (BENCH r4). First prove fills
+    # the cache (lazily, through the same batched kernels); steady-state
+    # proves skip those NTTs. Budgeted: k=15's 21 MB/col would need
+    # ~7 GB, past the default budget, so it degrades to per-prove NTTs.
+    static_key = (ext_n, nd)
+    static_budget_mb = int(os.environ.get("ZKFHE_STATIC_COSET_MB", "2200"))
+    static_cos = getattr(pk, "_static_cosets", None)
+    if static_cos is None or static_cos.get("key") != static_key:
+        static_cos = {"key": static_key, "map": {}}
+        pk._static_cosets = static_cos
+    static_map = static_cos["map"]
+    static_cap = static_budget_mb * (1 << 20) // (L * ext_n * 4)
+    cos_cache = dict(static_map)
     # residency budget: one entry is L*ext_n*4 bytes (5.2 MB at k=13);
     # past the cap, cosets are computed but not retained (k>=15 would
     # otherwise hold ~15 GB of cosets). prove_stream passes an explicit
@@ -988,6 +1007,20 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             return SH.sharded_coset_ntt(dom_ext, stack, cpow, mesh,
                                         mesh_axis)
 
+    # opt-in attribution of the quot_terms stage (syncs after every
+    # launch, so NOT for benchmarking the total): ZKFHE_QUOT_PROFILE=1
+    # prints coset-NTT vs term-kernel wall time at stage end
+    _qprof = {"coset_s": 0.0, "coset_n": 0, "terms_s": 0.0, "terms_n": 0}
+    if os.environ.get("ZKFHE_QUOT_PROFILE"):
+        _real_coset_batch = coset_batch
+
+        def coset_batch(stack):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(_real_coset_batch(stack))
+            _qprof["coset_s"] += time.perf_counter() - t0
+            _qprof["coset_n"] += 1
+            return out
+
     def coset_of(names):
         missing = [nm for nm in names if nm not in cos_cache]
         out = {}
@@ -1000,6 +1033,9 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
                 out[nm] = ev[:, i2]
                 if len(cos_cache) < cos_budget:
                     cos_cache[nm] = out[nm]
+                if (nm.startswith(("fixed", "sigma"))
+                        and len(static_map) < static_cap):
+                    static_map[nm] = out[nm]
         return [cos_cache.get(nm) if cos_cache.get(nm) is not None
                 else out[nm] for nm in names]
 
@@ -1038,6 +1074,13 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         """One term-batch accumulation: single-device jitted kernel, or
         term-axis-sharded partial + combine when a mesh is given."""
         if mesh is None:
+            if os.environ.get("ZKFHE_QUOT_PROFILE"):
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(
+                    jit_fn(*static_args, acc, ws, *stacks, *consts))
+                _qprof["terms_s"] += time.perf_counter() - t0
+                _qprof["terms_n"] += 1
+                return out
             return jit_fn(*static_args, acc, ws, *stacks, *consts)
         part = SH.sharded_term_batch(partial_fn, static_args, ws, stacks,
                                      consts, mesh, mesh_axis)
@@ -1186,6 +1229,11 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     cos_cache.clear()  # free ~5 MB x #polys of coset residency
     yield  # quotient term batches dispatched
     jax.block_until_ready(acc)
+    if os.environ.get("ZKFHE_QUOT_PROFILE"):
+        print(f"[quot profile] coset NTT {_qprof['coset_s']:.2f}s "
+              f"({_qprof['coset_n']} launches), term kernels "
+              f"{_qprof['terms_s']:.2f}s ({_qprof['terms_n']} launches), "
+              f"static cosets reused: {len(static_map)}", flush=True)
     _timer.mark("quot_terms")
     zh_inv = dstate["zh_inv"]
     if mesh is None:
