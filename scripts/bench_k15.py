@@ -30,6 +30,11 @@ def log(*a):
 
 
 def main():
+    # k=15 residency is tight (table 2.7 GB; the first attempt ran the
+    # v5e out of HBM by 4.7 MB): skip the static coset cache by default
+    os.environ.setdefault("ZKFHE_STATIC_COSET_MB", "0")
+    # c=4 table (1.4 GB packed) — k=15 residency is the binding constraint
+    os.environ.setdefault("ZKFHE_TAB_MB", "1600")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/zkfhe_jax"))

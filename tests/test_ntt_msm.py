@@ -4,6 +4,7 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zkfhe_tpu.ops import curve as C
 from zkfhe_tpu.ops import field as F
@@ -124,6 +125,7 @@ def test_column_max_bits():
     assert mb[2] >= 254
 
 
+@pytest.mark.slow
 def test_msm_tab_matches_host():
     """Fixed-base table MSM (gather + tree reduce) vs naive host sum,
     across width tiers, edge scalars, and row offsets."""
@@ -131,7 +133,7 @@ def test_msm_tab_matches_host():
     pts = [C.G1_GEN.mul(random.randrange(1, FR.p)) for _ in range(n)]
     P = C.encode_points(pts)
     tab = M.build_table((P[0], P[1]))
-    assert tab.windows == M.num_windows(M.TAB_C, 256)
+    assert tab.windows == M.num_windows(tab.c, 256)
 
     for bits in M.TAB_TIERS:
         bound = FR.p if bits == 256 else (1 << bits)
@@ -146,6 +148,7 @@ def test_msm_tab_matches_host():
         assert got == want, f"tier {bits}"
 
 
+@pytest.mark.slow
 def test_msm_tab_row_offset():
     """Sub-range commits (row_offset) match the host MSM over the slice,
     and main+tail splits recompose to the full-range commitment."""
@@ -169,6 +172,7 @@ def test_msm_tab_row_offset():
     assert main.add(tail) == M.msm_host(pts, scalars)
 
 
+@pytest.mark.slow
 def test_msm_tab_affine_tree_matches_jacobian():
     """The batch-inverted affine tree reduction (ops/curve.
     tree_reduce_affine, the default table-MSM reducer) matches the

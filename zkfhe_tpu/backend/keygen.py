@@ -83,11 +83,18 @@ def _j_stacked_add(a, b):
     return jnp.stack(C.point_add((a[0], a[1], a[2]), (b[0], b[1], b[2])),
                      axis=0)
 
-# Table-MSM batch sizes (columns per launch). Full-width gathers are
-# ~65/14 the size of tier gathers, so they run narrower batches to bound
-# the tree's level-0 working set.
+# Table-MSM batch sizes (columns per launch) AT n=8192. Full-width
+# gathers are ~65/14 the size of tier gathers, so they run narrower
+# batches to bound the tree's level-0 working set. Caps scale down with
+# n: the gather + tree working set is K*W*rows*160B and k=15 keygen ran
+# the v5e out of HBM by 4.7 MB at the n=8192 caps (2026-08-19).
 TIER_BATCH = 8
 FULL_BATCH = 4
+
+
+def _batch_caps(n: int) -> tuple[int, int]:
+    scale = max(1, n // 8192)
+    return max(1, TIER_BATCH // scale), max(1, FULL_BATCH // scale)
 
 
 class Committer:
@@ -113,6 +120,7 @@ class Committer:
         self.u = u
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        self.tier_cap, self.full_cap = _batch_caps(n)
         self._tab = None
 
     @property
@@ -189,11 +197,12 @@ class Committer:
         assert n == self.n
         std = F.from_mont(FR, vals_mont)
         if not split_tail:
+            fb = self.full_cap
             parts = []
-            for s in range(0, K, FULL_BATCH):
-                w = min(FULL_BATCH, K - s)
-                parts.append(self._msm(std[:, s:s + FULL_BATCH], 256, 0,
-                                       FULL_BATCH)[:, :, :w])
+            for s in range(0, K, fb):
+                w = min(fb, K - s)
+                parts.append(self._msm(std[:, s:s + fb], 256, 0,
+                                       fb)[:, :, :w])
             jac = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 2)
             if not sync:
                 return lambda: self._decode(jac)[:K]
@@ -215,7 +224,7 @@ class Committer:
             # TIER_BATCH width is a multi-GB transient that exhausts HBM
             # (hit by the 3-column phase-0 commit, 2026-08-17)
             tier = tiers[order[i]]
-            cap = TIER_BATCH if tier < 256 else FULL_BATCH
+            cap = self.tier_cap if tier < 256 else self.full_cap
             idx = []
             while i < K and tiers[order[i]] == tier and len(idx) < cap:
                 idx.append(int(order[i]))

@@ -313,11 +313,33 @@ def msm(points, scalars, c: int = DEFAULT_C, R: int = DEFAULT_R,
 # SURVEY.md §3.5) gather only their low windows: work is n*K*W(bits).
 # ---------------------------------------------------------------------------
 
-# Window width / table-memory trade: adds per column = rows * ceil(260/c),
-# table bytes = n * ceil(260/c) * 2^(c-1) * 160. c=4 -> 65 windows, 680 MB
-# at n=8192; c=6 -> 44 windows (-32% adds), 1.8 GB; c=7 -> 38, 3.7 GB.
-TAB_C = int(os.environ.get("ZKFHE_TAB_C", "4"))
-TAB_M = 1 << (TAB_C - 1)  # multiples 1..2^(c-1) per (window, point)
+# Window width / table-memory trade: gathered lanes per column =
+# rows * (ceil(bits/c)+1), table bytes = n * (ceil(256/c)+1) * 2^(c-1)
+# * 80 (pair-packed limbs). Larger c is a straight lane-count win for
+# every tier (the tree reduce does one complete add per lane) bought
+# with table HBM:
+#   n=8192:  c=4 -> W=65, 0.34 GB;  c=7 -> 38, 1.6 GB;  c=8 -> 33, 2.8 GB
+#   n=32768: c=4 -> 1.4 GB;  c=5 -> 2.2 GB
+# pick_tab_c chooses the largest c whose table fits ZKFHE_TAB_MB
+# (default 3400 MB — k=13 lands on c=8, k=15 on c=5 on a 16 GB v5e).
+# ZKFHE_TAB_C forces a specific c.
+TAB_MB = int(os.environ.get("ZKFHE_TAB_MB", "3400"))
+
+
+def pick_tab_c(n: int) -> int:
+    forced = os.environ.get("ZKFHE_TAB_C")
+    if forced:
+        return int(forced)
+    if n < 2048:
+        # tiny tables (tests, toy circuits): lane count is already small
+        # and the W*(2^(c-1)) point ops inside build_table's scan body
+        # dominate COMPILE time, so stay at the small window
+        return 4
+    for c in (8, 7, 6, 5):
+        mem = n * num_windows(c) * (1 << (c - 1)) * 80  # pair-packed rows
+        if mem <= TAB_MB * (1 << 20):
+            return c
+    return 4
 
 # width tiers for the table path: scalar-bit bound -> window count.
 # 72 covers the BFV hint columns (68-70-bit products, 57-58-bit sums,
@@ -352,22 +374,25 @@ def tab_tier_bits(max_bits: int) -> int:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _j_build_table(PX, PY, W, c):
-    """(L, n) affine Montgomery bases -> (n*W*M, 2L) interleaved table
+    """(L, n) affine Montgomery bases -> (n*W*M, L) pair-packed table
     of m * 2^(c*w) * P_i, point-major: row (i*W + w)*M + (m-1) holds
-    [X limbs || Y limbs]. Point-major + limb-minor so (a) one gathered
-    row is 2L*4 = 160 contiguous bytes — TPU gathers at 4-byte
-    granularity were the measured bottleneck of full-width commits —
-    and (b) a mesh shards the table by contiguous point blocks along
+    [X limbs || Y limbs], two 13-bit limbs packed per u32. Point-major +
+    limb-minor so (a) one gathered row is L*4 = 80 contiguous bytes —
+    TPU gathers at 4-byte granularity were the measured bottleneck of
+    full-width commits, and packing halves that traffic again — and
+    (b) a mesh shards the table by contiguous point blocks along
     axis 0. Scan over windows: emit the affine multiples, then shift by
     c doublings for the next window."""
     L_, n = PX.shape
     one = F.const(FQ, FQ.to_mont_int(1), PX.shape[1:])
     base = (PX, PY, jnp.broadcast_to(jnp.asarray(one), PX.shape))
 
+    M_ = 1 << (c - 1)
+
     def step(state, _):
         X, Y, Z = state
         mults = [(X, Y, Z)]
-        for m in range(2, TAB_M + 1):
+        for m in range(2, M_ + 1):
             if m % 2 == 0:
                 mults.append(C.point_double(mults[m // 2 - 1]))
             else:
@@ -379,26 +404,39 @@ def _j_build_table(PX, PY, W, c):
         nxt = (X, Y, Z)
         for _ in range(c):
             nxt = C.point_double(nxt)
-        return nxt, jnp.concatenate([aX, aY], axis=0)  # (2L, M, n)
+        xy = jnp.concatenate([aX, aY], axis=0)  # (2L, M, n)
+        # PACK limb pairs into one u32 (13+13 = 26 bits): halves the
+        # table's HBM residency AND the gather traffic per lane — the
+        # two measured ceilings of the commit path. Unpacked by
+        # _j_msm_tab with two shifts per limb pair.
+        return nxt, xy[0::2] | (xy[1::2] << LIMB_PACK_SHIFT)  # (L, M, n)
 
-    _, t = jax.lax.scan(step, base, None, length=W)  # (W, 2L, M, n)
-    return jnp.transpose(t, (3, 0, 2, 1)).reshape(n * W * TAB_M, 2 * L_)
+    _, t = jax.lax.scan(step, base, None, length=W)  # (W, L, M, n)
+    return jnp.transpose(t, (3, 0, 2, 1)).reshape(n * W * M_, L_)
+
+
+# pack two 13-bit limbs per table u32 (see _j_build_table)
+LIMB_PACK_SHIFT = F.LIMB_BITS
+LIMB_MASK_U32 = jnp.uint32(F.LIMB_MASK)
 
 
 @dataclasses.dataclass
 class PointTable:
     """Precomputed shifted-multiple tables for one fixed base set."""
 
-    XY: jnp.ndarray  # (n*W*M, 2L) interleaved, point-major
+    XY: jnp.ndarray  # (n*W*M, L) pair-packed limbs, point-major
     n: int
     windows: int
-    c: int = TAB_C
+    c: int = 4
 
 
-def build_table(points, max_bits: int = 256, c: int = TAB_C) -> PointTable:
+def build_table(points, max_bits: int = 256, c: int | None = None) -> PointTable:
     """points: (X, Y) affine Montgomery (L, n) -> PointTable covering
-    scalars < 2^max_bits."""
+    scalars < 2^max_bits. c defaults to pick_tab_c(n) (largest window
+    width whose table fits the ZKFHE_TAB_MB budget)."""
     PX, PY = points
+    if c is None:
+        c = pick_tab_c(PX.shape[1])
     W = num_windows(c, max_bits)
     t = _j_build_table(PX, PY, W, c)
     return PointTable(XY=t, n=PX.shape[1], windows=W, c=c)
@@ -412,7 +450,7 @@ def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset,
     scalars: (L, K, rows) standard-form limbs; logical point i for column
     entry j is row_offset + j. Returns Jacobian (L, K)."""
     L_ = scalars.shape[0]
-    M = TAB_M
+    M = 1 << (c - 1)
     K, rows = scalars.shape[1], scalars.shape[2]
     W = num_windows(c, max_bits)
     assert W <= W_full, (W, W_full)
@@ -427,9 +465,12 @@ def _j_msm_tab(tabXY, scalars, c, W_full, max_bits, row_offset,
     i_idx = jnp.arange(rows, dtype=jnp.int32)[None, None, :] + row_offset
     flat = ((i_idx * W_full + w_idx) * M + m_idx).reshape(-1)
 
-    g = jnp.take(tabXY, flat, axis=0)  # (K*W*rows, 2L) 160B/row
-    g = jnp.transpose(g.reshape(K, W * rows, 2 * L_), (2, 0, 1))
-    gx, gy = g[:L_], g[L_:]
+    g = jnp.take(tabXY, flat, axis=0)  # (K*W*rows, L) 80B/row packed
+    g = jnp.transpose(g.reshape(K, W * rows, L_), (2, 0, 1))
+    # unpack the 13+13-bit limb pairs (see _j_build_table)
+    lo, hi = g & LIMB_MASK_U32, g >> LIMB_PACK_SHIFT
+    full = jnp.stack([lo, hi], axis=1).reshape(2 * L_, K, W * rows)
+    gx, gy = full[:L_], full[L_:]
     gy = F.select(neg, F.sub(FQ, F.zero((K, W * rows)), gy), gy)
     if mode == "affine":
         # batch-inverted affine tree: ~2x fewer muls and 2/3 the state
