@@ -15,8 +15,8 @@ break points in configs/bfv.json:20-187). Here:
     connected components (scipy), producing the sigma mapping.
 
 Proof-system shape constants:
-  gate degree 3, permutation chunk 4 and logUp group 4 -> max constraint
-  degree 6 -> extended (coset) domain of 8n.
+  gate degree 3, permutation chunk 6 and logUp group 4 -> max constraint
+  degree 8 -> extended (coset) domain of 8n.
 """
 from __future__ import annotations
 
@@ -33,9 +33,12 @@ from ..trace.builder import (CTX_LK, CTX_P0, CTX_P1, CTX_WIDE, LOOKUP_BITS,
 from ..trace.compile import Layout
 
 BLINDERS = 8  # random rows per advice column (zk), plus 1 boundary row
-PERM_CHUNK = 4  # permutation columns per grand-product poly
+PERM_CHUNK = 6  # permutation columns per grand-product poly (degree 8)
 LOOKUP_GROUP = 4  # lookup columns per logUp helper poly
-EXT_FACTOR = 8  # extended domain = 8n (max constraint degree 6)
+EXT_FACTOR = 8  # extended domain = 8n (max constraint degree 8: the
+# perm-chunk term q_act*z*prod(6 factors) has degree 8(n-1) <= 8n-1, so
+# CH=6 is the largest chunk the 8n coset supports — fewer grand-product
+# polys means fewer full-width commits, cosets and openings per proof)
 MIN_K = 6
 
 

@@ -165,6 +165,7 @@ def vanishing_eval(pts: list, z: int, p: int) -> int:
     return acc
 
 
-NUM_QUOT_CHUNKS = 5  # max constraint degree 6 -> h degree <= 5n-6, 5 chunks
+NUM_QUOT_CHUNKS = 7  # max constraint degree 8 (PERM_CHUNK=6 perm terms)
+# -> h degree <= 7n-8, 7 chunks
 
 ROTATIONS = [0, 1, 2, 3, ROT_LAST]  # distinct opening point multipliers

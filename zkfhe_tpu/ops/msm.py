@@ -372,6 +372,15 @@ def tab_tier_bits(max_bits: int) -> int:
     return 256
 
 
+# multiples emitted per inner-scan step of _j_build_table: bounds the
+# traced body to TAB_CHUNK point adds (the previous fully-unrolled form
+# put all 2^(c-1) multiples in one scan body — at c=8 that graph took
+# >40 min on the axon remote-compile path and wedged a whole bench run,
+# 2026-08-20; runtime is identical because the multiple chain is a
+# sequential data dependency either way)
+TAB_CHUNK = 8
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _j_build_table(PX, PY, W, c):
     """(L, n) affine Montgomery bases -> (n*W*M, L) pair-packed table
@@ -381,29 +390,36 @@ def _j_build_table(PX, PY, W, c):
     TPU gathers at 4-byte granularity were the measured bottleneck of
     full-width commits, and packing halves that traffic again — and
     (b) a mesh shards the table by contiguous point blocks along
-    axis 0. Scan over windows: emit the affine multiples, then shift by
-    c doublings for the next window."""
+    axis 0. Scan over windows: emit the affine multiples (an inner scan
+    of TAB_CHUNK-add steps), then shift by c doublings for the next
+    window."""
     L_, n = PX.shape
     one = F.const(FQ, FQ.to_mont_int(1), PX.shape[1:])
     base = (PX, PY, jnp.broadcast_to(jnp.asarray(one), PX.shape))
 
     M_ = 1 << (c - 1)
+    ch = min(TAB_CHUNK, M_)
+    nst = M_ // ch  # both powers of two
 
-    def step(state, _):
+    def window(state, _):
         X, Y, Z = state
-        mults = [(X, Y, Z)]
-        for m in range(2, M_ + 1):
-            if m % 2 == 0:
-                mults.append(C.point_double(mults[m // 2 - 1]))
-            else:
-                mults.append(C.point_add(mults[-1], (X, Y, Z)))
-        mX = jnp.stack([t[0] for t in mults], axis=1)  # (L, M, n)
-        mY = jnp.stack([t[1] for t in mults], axis=1)
-        mZ = jnp.stack([t[2] for t in mults], axis=1)
+
+        def mstep(prev, _):
+            outs, cur = [], prev
+            for _ in range(ch):
+                cur = C.point_add(cur, (X, Y, Z))
+                outs.append(cur)
+            em = tuple(jnp.stack([t[i] for t in outs], axis=1)
+                       for i in range(3))  # each (L, ch, n)
+            return cur, em
+
+        inf = tuple(F.vary_like(t, X) for t in C.infinity_like(X.shape[1:]))
+        _, em = jax.lax.scan(mstep, inf, None, length=nst)
+        # (nst, L, ch, n) -> (L, M, n); multiple m sits at index m-1
+        mX, mY, mZ = (jnp.moveaxis(t, 0, 1).reshape(L_, M_, n) for t in em)
         aX, aY = C.to_affine_xy((mX, mY, mZ))
-        nxt = (X, Y, Z)
-        for _ in range(c):
-            nxt = C.point_double(nxt)
+        nxt = jax.lax.fori_loop(0, c, lambda _, P: C.point_double(P),
+                                (X, Y, Z))
         xy = jnp.concatenate([aX, aY], axis=0)  # (2L, M, n)
         # PACK limb pairs into one u32 (13+13 = 26 bits): halves the
         # table's HBM residency AND the gather traffic per lane — the
@@ -411,7 +427,7 @@ def _j_build_table(PX, PY, W, c):
         # _j_msm_tab with two shifts per limb pair.
         return nxt, xy[0::2] | (xy[1::2] << LIMB_PACK_SHIFT)  # (L, M, n)
 
-    _, t = jax.lax.scan(step, base, None, length=W)  # (W, L, M, n)
+    _, t = jax.lax.scan(window, base, None, length=W)  # (W, L, M, n)
     return jnp.transpose(t, (3, 0, 2, 1)).reshape(n * W * M_, L_)
 
 
