@@ -120,11 +120,22 @@ class Domain:
 
 
 def _ntt_core(domain: Domain, x, stage_tables):
-    """x: (L, ..., n) Montgomery values; returns NTT along last axis."""
+    """x: (L, ..., n) Montgomery values; returns NTT along last axis.
+
+    On TPU each stage is ONE fused Pallas butterfly kernel
+    (mul+add+sub in a single VMEM pass) instead of three separate
+    elementwise dispatches — the stage is HBM-bound, so fusing cuts
+    its traffic ~3x."""
+    from . import pallas_field as PF
+
     fld = domain.field
     n = domain.n
     x = jnp.take(x, domain.bitrev, axis=-1)
     lead = x.shape[:-1]  # (L, *batch)
+    nbatch = 1
+    for d in lead[1:]:
+        nbatch *= d
+    fuse = PF.should_use(nbatch * n // 2)
     for s in range(1, domain.k + 1):
         m = 1 << s
         half = m // 2
@@ -134,10 +145,12 @@ def _ntt_core(domain: Domain, x, stage_tables):
         tw = stage_tables[s - 1]  # (L, half)
         tw = tw.reshape((F.NLIMBS,) + (1,) * (len(lead) - 1) + (1, half))
         tw = jnp.broadcast_to(tw, v.shape)
-        vw = F.mont_mul(fld, v, tw)
-        x = jnp.concatenate(
-            [F.add(fld, u, vw), F.sub(fld, u, vw)], axis=-1
-        ).reshape(lead + (n,))
+        if fuse:
+            hi, lo = PF.butterfly_pallas(fld, u, v, tw)
+        else:
+            vw = F.mont_mul(fld, v, tw)
+            hi, lo = F.add(fld, u, vw), F.sub(fld, u, vw)
+        x = jnp.concatenate([hi, lo], axis=-1).reshape(lead + (n,))
     return x
 
 
