@@ -338,23 +338,38 @@ def _run_pipeline(k, n, q, suffix, cpu_fallback, attempt, log):
         f"advice={pk.vk.shape['num_advice']} "
         f"perm={pk.vk.shape['num_perm_cols']}")
 
-    # warm-up proof compiles everything; second proof is the measure
+    # warm-up proof compiles everything; warm repeats are the measure
     stage("warmup_prove", 2700)
     t0 = time.time()
     proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"warmup")
-    log(f"warmup prove done ({time.time()-t0:.1f}s), "
-        f"{len(proof)} bytes")
+    warmup_s = time.time() - t0
+    log(f"warmup prove done ({warmup_s:.1f}s), {len(proof)} bytes")
 
+    # >=3 warm proves; the HEADLINE is the median (VERDICT r4 next #6:
+    # single-run numbers drifted 22% between commit claims and the
+    # recorded artifact; median + min/max makes the steady state visible)
     stage("bench_prove", 1500)
-    t0 = time.time()
-    proof = PV.prove(pk, srs, circuit, inputs, rng_seed=b"bench")
-    prove_s = time.time() - t0
-    log(f"bench prove: {prove_s:.3f}s")
-    stages = dict(PV.LAST_STAGES)
+    runs, all_stages = [], []
+    n_runs = int(os.environ.get("ZKFHE_BENCH_RUNS", "3"))
+    for i in range(n_runs):
+        t0 = time.time()
+        proof = PV.prove(pk, srs, circuit, inputs,
+                         rng_seed=b"bench%d" % i)
+        runs.append(time.time() - t0)
+        all_stages.append(dict(PV.LAST_STAGES))
+        log(f"bench prove[{i}]: {runs[-1]:.3f}s")
+    order = sorted(range(n_runs), key=lambda i: runs[i])
+    med_i = order[n_runs // 2]
+    prove_s = runs[med_i]
+    stages = all_stages[med_i]  # stage table of the median run
+    log(f"bench prove median: {prove_s:.3f}s "
+        f"(min {min(runs):.3f}s max {max(runs):.3f}s)")
     log(f"stages: {stages}")
     STATE["prove_s"] = prove_s
     STATE["extras"] = {
         "proof_bytes": len(proof),
+        "prove_runs": [round(r, 4) for r in runs],
+        "warmup_prove_s": round(warmup_s, 2),
         "stages": {nm: round(dt, 3) for nm, dt in stages.items()},
     }
     if attempt:

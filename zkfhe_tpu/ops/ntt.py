@@ -122,35 +122,46 @@ class Domain:
 def _ntt_core(domain: Domain, x, stage_tables):
     """x: (L, ..., n) Montgomery values; returns NTT along last axis.
 
-    On TPU each stage is ONE fused Pallas butterfly kernel
-    (mul+add+sub in a single VMEM pass) instead of three separate
-    elementwise dispatches — the stage is HBM-bound, so fusing cuts
-    its traffic ~3x."""
+    Stockham autosort DIF: natural order in AND out with NO bit-reversal
+    permutation — the classic radix-2 DIT needed a 21 MB `jnp.take`
+    gather per 16-column launch, and TPU gathers (4-byte granularity)
+    were the measured bulk of the 123 ms/launch coset NTT. Every stage
+    here touches only contiguous slices:
+
+        view x as (2, l, m)  [l = n/2^(t+1), m = 2^t]
+        y[j, 0, k] = x[0, j, k] + x[1, j, k]
+        y[j, 1, k] = (x[0, j, k] - x[1, j, k]) * w^(j*m)
+        flatten y (l, 2, m) -> n, repeat
+
+    The stage-t twiddles (powers of w^(2^t), length l) are exactly the
+    classic tables in reverse stage order. On TPU each stage is ONE
+    fused Pallas DIF-butterfly kernel (add+sub+mul in a single VMEM
+    pass)."""
     from . import pallas_field as PF
 
     fld = domain.field
     n = domain.n
-    x = jnp.take(x, domain.bitrev, axis=-1)
+    k = domain.k
     lead = x.shape[:-1]  # (L, *batch)
     nbatch = 1
     for d in lead[1:]:
         nbatch *= d
     fuse = PF.should_use(nbatch * n // 2)
-    for s in range(1, domain.k + 1):
-        m = 1 << s
-        half = m // 2
-        xr = x.reshape(lead + (n // m, m))
-        u = xr[..., :half]
-        v = xr[..., half:]
-        tw = stage_tables[s - 1]  # (L, half)
-        tw = tw.reshape((F.NLIMBS,) + (1,) * (len(lead) - 1) + (1, half))
+    for t in range(k):
+        l = n >> (t + 1)
+        m = 1 << t
+        xr = x.reshape(lead + (2, l, m))
+        u = xr[..., 0, :, :]
+        v = xr[..., 1, :, :]
+        tw = stage_tables[k - 1 - t]  # (L, l) = powers of w^(2^t)
+        tw = tw.reshape((F.NLIMBS,) + (1,) * (len(lead) - 1) + (l, 1))
         tw = jnp.broadcast_to(tw, v.shape)
         if fuse:
-            hi, lo = PF.butterfly_pallas(fld, u, v, tw)
+            hi, lo = PF.butterfly_dif_pallas(fld, u, v, tw)
         else:
-            vw = F.mont_mul(fld, v, tw)
-            hi, lo = F.add(fld, u, vw), F.sub(fld, u, vw)
-        x = jnp.concatenate([hi, lo], axis=-1).reshape(lead + (n,))
+            hi = F.add(fld, u, v)
+            lo = F.mont_mul(fld, F.sub(fld, u, v), tw)
+        x = jnp.stack([hi, lo], axis=-2).reshape(lead + (n,))
     return x
 
 

@@ -175,7 +175,7 @@ def _sub_kernel(field: F.Field):
 
 
 def _bfly_kernel(field: F.Field):
-    """Fused NTT butterfly: (u, v, tw) -> (u + v*tw, u - v*tw).
+    """Fused DIT NTT butterfly: (u, v, tw) -> (u + v*tw, u - v*tw).
 
     One VMEM pass instead of three (mul, add, sub) HBM round trips —
     the butterfly is the whole inner loop of ops/ntt._ntt_core."""
@@ -190,11 +190,27 @@ def _bfly_kernel(field: F.Field):
     return kernel
 
 
+def _bfly_dif_kernel(field: F.Field):
+    """Fused DIF butterfly: (u, v, tw) -> (u + v, (u - v)*tw) — the
+    inner loop of the Stockham autosort NTT (ops/ntt), which has no
+    bit-reversal gather."""
+    p_limbs, mu = field.p_limbs, field.mu
+
+    def kernel(u_ref, v_ref, tw_ref, hi_ref, lo_ref):
+        u, v = _read(u_ref), _read(v_ref)
+        _write(hi_ref, _k_add(p_limbs, u, v))
+        d = _k_sub(p_limbs, u, v)
+        _write(lo_ref, _k_mont_mul(p_limbs, mu, d, _read(tw_ref)))
+
+    return kernel
+
+
 _KERNELS = {
     "mont_mul": (_mont_mul_kernel, 2, 1),
     "add": (_add_kernel, 2, 1),
     "sub": (_sub_kernel, 2, 1),
     "bfly": (_bfly_kernel, 3, 2),
+    "bfly_dif": (_bfly_dif_kernel, 3, 2),
 }
 
 
@@ -252,3 +268,8 @@ def sub_pallas(field: F.Field, a, b):
 def butterfly_pallas(field: F.Field, u, v, tw):
     """(u + v*tw, u - v*tw); tw must be pre-broadcast to u's shape."""
     return _dispatch("bfly", field, u, v, tw)
+
+
+def butterfly_dif_pallas(field: F.Field, u, v, tw):
+    """(u + v, (u - v)*tw); tw must be pre-broadcast to u's shape."""
+    return _dispatch("bfly_dif", field, u, v, tw)
