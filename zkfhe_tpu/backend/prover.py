@@ -408,22 +408,22 @@ def _j_evals_batch(coeffs_stack, xpow):
 def _j_divide_linear(comb, ce, zm, zim):
     """(f(X) - f(z))/(X - z): subtract ce from the constant term, then
     synthetic division via log-depth suffix sums: b_j = z^-(j+1) S_{j+1}
-    with S_j = sum_{i>=j} a_i z^i."""
+    with S_j = sum_{i>=j} a_i z^i. The suffix sums are Hillis-Steele
+    shift+add rounds over the full row (Pallas-sized on TPU) rather
+    than an associative_scan of tiny moveaxis'd adds."""
     n = comb.shape[-1]
     comb = comb.at[:, 0].set(F.sub(FR, comb[:, 0:1], ce[:, None])[:, 0])
     zp = F.power_series(FR, zm, n)
     zip_ = F.power_series(FR, zim, n + 1)
-    azi = F.mont_mul(FR, comb, zp)
-    moved = jnp.moveaxis(azi, -1, 0)[:, :, None]
-
-    def addop(xx, yy):
-        return jnp.moveaxis(
-            F.add(FR, jnp.moveaxis(xx, 1, 0), jnp.moveaxis(yy, 1, 0)), 0, 1)
-
-    suf = jax.lax.associative_scan(addop, moved, reverse=True)[..., 0]
-    suf = jnp.moveaxis(suf, 0, -1)
+    s = F.mont_mul(FR, comb, zp)
+    step = 1
+    while step < n:
+        shifted = jnp.concatenate(
+            [s[:, step:], jnp.zeros((L, step), dtype=jnp.uint32)], axis=1)
+        s = F.add(FR, s, shifted)
+        step *= 2
     s_next = jnp.concatenate(
-        [suf[:, 1:], jnp.zeros((L, 1), dtype=jnp.uint32)], axis=1)
+        [s[:, 1:], jnp.zeros((L, 1), dtype=jnp.uint32)], axis=1)
     return F.mont_mul(FR, s_next, zip_[:, 1:])
 
 
@@ -649,6 +649,15 @@ def _pk_device_state(pk: ProvingKey, dom, dom_ext, nd: int) -> dict:
     c["table_vals"] = F.to_mont(
         FR, jnp.asarray(F.encode_ints_np(list(table_std))))
     c["fixed_vals_const"] = N.ntt(dom, pk.fixed_coeffs[:, 0])
+    # per-rotation twiddle series omega^(r*j): lets the evals stage build
+    # all opening-point power series from ONE series of x (x*w^r)^j =
+    # x^j * w^(rj) instead of a log-depth series per rotation
+    rp = []
+    for r in PROTO.ROTATIONS:
+        e = r if r != PROTO.ROT_LAST else asm.u
+        rp.append(F.power_series(
+            FR, _enc_mont_scalar(pow(dom.omega, e, FR.p)), n))
+    c["rot_pows"] = jnp.stack(rp, axis=2)  # (L, n, R)
     plan = _term_plan(pk.vk.shape, nd)
     c["term_plan_np"] = plan
     c["term_plan"] = jnp.asarray(plan)
@@ -1277,7 +1286,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     enc_pt = {r: pts_enc[:, i] for i, r in enumerate(rot_keys)}
     enc_pt_inv = {r: pts_enc[:, len(rot_keys) + i]
                   for i, r in enumerate(rot_keys)}
-    xpows = {r: F.power_series(FR, enc_pt[r], n) for r in rot_keys}
+    assert rot_keys == PROTO.ROTATIONS  # rot_pows columns line up
 
     # ALL evaluations as one MXU matmul: (names x n) @ (n x rotations)
     # over Fr (ops/mxu_field.py). The full name x rotation product is
@@ -1287,7 +1296,12 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     # just gathers the (name, rot) entries it needs.
     names_all = sorted({name for name, _ in sched})
     name_pos = {nm: i for i, nm in enumerate(names_all)}
-    xmat = jnp.stack([xpows[r] for r in rot_keys], axis=2)  # (L, n, R)
+    # (x*w^r)^j = x^j * w^(rj): one power series, pointwise-scaled by the
+    # pk's cached per-rotation twiddle series
+    xpow_x = F.power_series(FR, enc_pt[0], n)
+    xmat = F.mont_mul(FR, jnp.broadcast_to(xpow_x[:, :, None],
+                                           dstate["rot_pows"].shape),
+                      dstate["rot_pows"])  # (L, n, R)
     evals = {}
     EV_CHUNK = 128  # bounds the (L, K, n) stack + plane peak memory
     pending_evs = []  # dispatch every chunk, decode after the yield

@@ -546,20 +546,23 @@ def _batch_inv_nonzero(field: Field, a, one_like):
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def power_series(field: Field, base_mont, count: int):
     """[1, b, b^2, ..., b^(count-1)] in Montgomery form via log-depth
-    associative scan. base_mont: (L,) Montgomery."""
+    doubling: out holds [b^0..b^(cur-1)], bp = b^cur, extend with
+    out*bp. log2(count) full-width muls (Pallas-sized on TPU) — the
+    previous associative_scan form spent its levels in tiny moveaxis'd
+    scan-path muls. base_mont: (L,) Montgomery."""
     one = vary_like(to_mont(field, const(field, 1)), base_mont)
+    out = one[:, None]
     if count == 1:
-        return one[:, None]
-    reps = jnp.broadcast_to(base_mont[:, None], (NLIMBS, count - 1))
-    moved = jnp.moveaxis(reps, -1, 0)[:, :, None]  # (count-1, L, 1)
-
-    def op(x, y):
-        xm = jnp.moveaxis(x, 1, 0)
-        ym = jnp.moveaxis(y, 1, 0)
-        return jnp.moveaxis(mont_mul(field, xm, ym), 0, 1)
-
-    prefix = jax.lax.associative_scan(op, moved)[..., 0]  # (count-1, L)
-    return jnp.concatenate([one[:, None], jnp.moveaxis(prefix, 0, -1)], axis=1)
+        return out
+    bp = base_mont[:, None]  # b^(2^t) after t doublings
+    while out.shape[1] < count:
+        take = min(out.shape[1], count - out.shape[1])
+        ext = mont_mul(field, out[:, :take],
+                       jnp.broadcast_to(bp, (NLIMBS, take)))
+        out = jnp.concatenate([out, ext], axis=1)
+        if out.shape[1] < count:
+            bp = mont_mul(field, bp, bp)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
