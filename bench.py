@@ -111,19 +111,23 @@ def _kernel_metrics(k, log):
         for bits in M.TAB_TIERS:
             sc = jnp.asarray(
                 _rand_narrow_scalars(np, F, K, n, bits=min(bits, 254)))
-            # time-to-host: block_until_ready on the axon remote device
-            # does NOT wait for execution (the round-3 47M-pts/s claim
-            # was this artifact); np.asarray is what the prover's
-            # point-decode pays anyway
+            # amortized time-to-host: enqueue `reps` launches, pay ONE
+            # device->host transfer at the end — exactly the prover's
+            # async-commit pattern (msm_tab_stacked + one decode per
+            # commit group). block_until_ready does NOT wait on the axon
+            # remote device, so the final np.asarray is the fence; the
+            # serial device queue makes it cover all reps.
             np.asarray(M.msm_tab_stacked(tab, sc, max_bits=bits))
             t0 = time.time()
-            reps = 3
+            reps = 8
+            o = None
             for _ in range(reps):
-                np.asarray(M.msm_tab_stacked(tab, sc, max_bits=bits))
+                o = M.msm_tab_stacked(tab, sc, max_bits=bits)
+            np.asarray(o)
             dt = (time.time() - t0) / reps
             tiers[f"{bits}b"] = round(K * n / dt, 1)
             log(f"table MSM ({bits}-bit tier, K={K}, n={n}): "
-                f"{dt*1e3:.1f}ms warm, {K*n/dt:,.0f} pts/s")
+                f"{dt*1e3:.1f}ms warm amortized, {K*n/dt:,.0f} pts/s")
         out["msm_pts_per_s_per_chip"] = tiers.get("32b")
         out["msm_tier_pts_per_s"] = tiers
     dom = N.Domain.new(k + 3)
@@ -132,11 +136,16 @@ def _kernel_metrics(k, log):
     ntt_j = jax.jit(N.ntt, static_argnums=0)
     np.asarray(ntt_j(dom, a))  # warm (and force: see MSM note above)
     t0 = time.time()
-    np.asarray(ntt_j(dom, a))
-    dt = time.time() - t0
+    reps = 8
+    o = None
+    for _ in range(reps):
+        o = ntt_j(dom, a)
+    np.asarray(o)  # fence: serial device queue covers all reps
+    dt = (time.time() - t0) / reps
     bflies = K * (dom.n // 2) * (k + 3)
     out["ntt_butterflies_per_s"] = round(bflies / dt, 1)
-    log(f"coset-size NTT (K={K}, n={dom.n}): {bflies/dt:.3g} butterflies/s")
+    log(f"coset-size NTT (K={K}, n={dom.n}): {bflies/dt:.3g} butterflies/s "
+        f"({dt*1e3:.1f} ms/launch amortized)")
     return out
 
 
@@ -330,6 +339,15 @@ def _run_pipeline(k, n, q, suffix, cpu_fallback, attempt, log):
         vk = KG.load_vk(vk_path)
         pk = KG.load_pk(pk_path, vk, circuit, inputs)
         log(f"pk/vk loaded from cache ({time.time()-t0:.1f}s)")
+        # refresh artifacts missing a current-code assembly blob so the
+        # NEXT load skips the ~17 s trace/assemble rebuild
+        d = np.load(pk_path, allow_pickle=True)
+        stale = ("asm_blob" not in d.files
+                 or str(d["asm_digest"]) != KG._asm_code_digest())
+        del d
+        if stale:
+            KG.save_pk(pk, pk_path)
+            log("pk cache refreshed with assembly blob")
     else:
         pk = KG.keygen(circuit, inputs, k, srs)
         KG.save_vk(pk.vk, vk_path)
@@ -350,7 +368,7 @@ def _run_pipeline(k, n, q, suffix, cpu_fallback, attempt, log):
     # recorded artifact; median + min/max makes the steady state visible)
     stage("bench_prove", 1500)
     runs, all_stages = [], []
-    n_runs = int(os.environ.get("ZKFHE_BENCH_RUNS", "3"))
+    n_runs = int(os.environ.get("ZKFHE_BENCH_RUNS", "5"))
     for i in range(n_runs):
         t0 = time.time()
         proof = PV.prove(pk, srs, circuit, inputs,

@@ -136,6 +136,39 @@ class PolyStore:
         arr, i = self._stacks[key]
         return arr[:, i]
 
+    def gather(self, names):
+        """(L, len(names), n) stack of the named polys in ONE batched
+        copy per backing-array run. The naive per-name form
+        (jnp.stack([store[nm] for nm in names])) issues an eager slice
+        op per name; on the axon tunnel each eager dispatch costs
+        ~10 ms, which made poly stacking the measured bulk of the
+        evals/multiopen/quotient stages (1.3 s per 128-poly stack vs
+        3 ms for one jnp.take)."""
+        runs = []  # [backing_arr | None, [col | direct_arr, ...]]
+        for nm in names:
+            if nm in self._direct:
+                a, i = None, self._direct[nm]
+            else:
+                a, i = self._stacks[nm]
+            if runs and runs[-1][0] is a and a is not None:
+                runs[-1][1].append(i)
+            elif runs and runs[-1][0] is None and a is None:
+                runs[-1][1].append(i)
+            else:
+                runs.append([a, [i]])
+        pieces = []
+        for a, cols in runs:
+            if a is None:
+                pieces.append(jnp.stack(cols, axis=1))
+            elif cols == list(range(a.shape[1])):
+                pieces.append(a)
+            else:
+                pieces.append(jnp.take(a, jnp.asarray(cols, jnp.int32),
+                                       axis=1))
+        if len(pieces) == 1:
+            return pieces[0]
+        return jnp.concatenate(pieces, axis=1)
+
 
 # ---------------------------------------------------------------------------
 # Jitted stage kernels (compiled once per shape, cached persistently)
@@ -965,8 +998,6 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     gamma_m = _enc_mont_scalar(gamma)
     acc = jnp.zeros((L, ext_n), dtype=jnp.uint32)
 
-    zero_col = jnp.zeros((L, n), dtype=jnp.uint32)
-    zero_ev = jnp.zeros((L, ext_n), dtype=jnp.uint32)
 
     # ---- coset cache: every polynomial's 8n-coset evaluation computed
     # exactly ONCE per prove (batched 8 columns per NTT launch). The
@@ -990,9 +1021,16 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     if static_cos is None or static_cos.get("key") != static_key:
         static_cos = {"key": static_key, "map": {}}
         pk._static_cosets = static_cos
+    # all coset storage is BY REFERENCE into whole launch stacks:
+    # name -> ((L, COS_B, E) array, lane). Per-name slices (the round-4
+    # form) cost one eager dispatch each on materialization AND one per
+    # re-stack — ~10 ms apiece over the axon tunnel, which made host-side
+    # stacking the bulk of the measured quot_terms stage. Launch stacks
+    # mixing static and per-prove columns are retained whole by the
+    # static map (bounded waste: a handful of stacks).
     static_map = static_cos["map"]
     static_cap = static_budget_mb * (1 << 20) // (L * ext_n * 4)
-    cos_cache = dict(static_map)
+    cos_ref = dict(static_map)
     # residency budget: one entry is L*ext_n*4 bytes (5.2 MB at k=13);
     # past the cap, cosets are computed but not retained (k>=15 would
     # otherwise hold ~15 GB of cosets). prove_stream passes an explicit
@@ -1030,27 +1068,69 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
             _qprof["coset_n"] += 1
             return out
 
-    def coset_of(names):
-        missing = [nm for nm in names if nm not in cos_cache]
-        out = {}
+    def coset_fill(names):
+        """Compute (and cache refs for) any missing cosets, COS_B names
+        per NTT launch; returns a ref map covering `names` (the prove-
+        budget overflow entries live only in the returned dict)."""
+        extra = {}
+        missing = [nm for nm in names
+                   if nm not in cos_ref and nm not in extra]
         for s2 in range(0, len(missing), COS_B):
             grp2 = missing[s2:s2 + COS_B]
-            stack = jnp.stack([polys[nm] for nm in grp2]
-                              + [zero_col] * (COS_B - len(grp2)), axis=1)
+            stack = polys.gather(grp2)
+            if len(grp2) < COS_B:
+                stack = jnp.concatenate(
+                    [stack, jnp.zeros((L, COS_B - len(grp2), n),
+                                      jnp.uint32)], axis=1)
             ev = coset_batch(stack)
             for i2, nm in enumerate(grp2):
-                out[nm] = ev[:, i2]
-                if len(cos_cache) < cos_budget:
-                    cos_cache[nm] = out[nm]
+                if len(cos_ref) < cos_budget:
+                    cos_ref[nm] = (ev, i2)
+                else:
+                    extra[nm] = (ev, i2)
                 if (nm.startswith(("fixed", "sigma"))
                         and len(static_map) < static_cap):
-                    static_map[nm] = out[nm]
-        return [cos_cache.get(nm) if cos_cache.get(nm) is not None
-                else out[nm] for nm in names]
+                    static_map[nm] = (ev, i2)
+        return extra
+
+    def coset_stack(names, width=None, reshape=None):
+        """(L, width, E) stacked cosets via grouped takes (one copy per
+        backing-launch run, zero-padded to `width`)."""
+        width = len(names) if width is None else width
+        extra = coset_fill(names)
+        runs = []
+        for nm in names:
+            a, i = cos_ref.get(nm) or extra[nm]
+            if runs and runs[-1][0] is a:
+                runs[-1][1].append(i)
+            else:
+                runs.append([a, [i]])
+        pieces = []
+        for a, cols in runs:
+            if cols == list(range(a.shape[1])):
+                pieces.append(a)
+            else:
+                pieces.append(jnp.take(a, jnp.asarray(cols, jnp.int32),
+                                       axis=1))
+        if width > len(names):
+            pieces.append(jnp.zeros((L, width - len(names), ext_n),
+                                    jnp.uint32))
+        out = (pieces[0] if len(pieces) == 1
+               else jnp.concatenate(pieces, axis=1))
+        return out.reshape(reshape) if reshape is not None else out
+
+    def coset_of(names):
+        """Per-name (L, E) cosets — singleton/ragged callers only (each
+        slice is one eager dispatch)."""
+        extra = coset_fill(names)
+        out = []
+        for nm in names:
+            a, i = cos_ref.get(nm) or extra[nm]
+            out.append(a[:, i])
+        return out
 
     def ev_stack(names, width):
-        evs = coset_of(names)
-        return jnp.stack(evs + [zero_ev] * (width - len(names)), axis=1)
+        return coset_stack(names, width)
 
     qact_ev = coset_of([fq("q_act")])[0]
 
@@ -1104,6 +1184,33 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     for ti, (kind, arg) in enumerate(terms):
         by_kind.setdefault(kind, []).append((ti, arg))
 
+    # prefill the coset cache with EVERY poly the term loops will touch:
+    # per-term-batch fills ran half-empty NTT launches (8 missing names
+    # against COS_B=16 lanes); one bulk fill packs them full. Capped to
+    # the residency budget — overflow names fall back to per-batch fills
+    # (k>=15 keeps a partial cache instead of thrashing whole launches).
+    pre = []
+    for _, arg2 in by_kind.get("gate", []):
+        pre += [f"adv{arg2}", fq(f"sel_{arg2}")]
+    for _, arg2 in by_kind.get("challenge", []):
+        pre += [f"adv{arg2}", fq(f"qgamma_{arg2}")]
+    for _, g2 in by_kind.get("lookup_h", []):
+        pre.append(f"lookup_h{g2}")
+        pre += [f"adv{lk_base + i2}" for i2 in
+                range(g2 * LOOKUP_GROUP, min((g2 + 1) * LOOKUP_GROUP, nlk))]
+    for _, j2 in by_kind.get("perm_chunk", []):
+        pre.append(f"perm_z{j2}")
+        for i2 in range(j2 * PERM_CHUNK, min((j2 + 1) * PERM_CHUNK, P)):
+            pre.append(f"adv{i2}" if i2 < asm.num_advice else
+                       (fq("const") if i2 == asm.num_advice else "instance"))
+            pre.append(f"sigma{i2}")
+    if nlk:
+        pre += ["lookup_g", "lookup_m", "lookup_phi", fq("table"),
+                fq("q_first"), fq("q_last")]
+    pre = [nm for nm in dict.fromkeys(pre) if nm not in cos_ref]
+    room = max(0, cos_budget - len(cos_ref))
+    coset_fill(pre[:room])
+
     for s in range(0, len(by_kind.get("gate", [])), GATE_BATCH):
         grp = by_kind["gate"][s:s + GATE_BATCH]
         a_ev = ev_stack([f"adv{arg}" for _, arg in grp], GATE_BATCH)
@@ -1133,17 +1240,16 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         ngpad = -(-len(lk_full) // nd) * nd - len(lk_full)
         h_ev = ev_stack([f"lookup_h{g}" for _, g, _ in lk_full],
                         len(lk_full) + ngpad)
-        zero_grp = jnp.zeros((L, LOOKUP_GROUP, ext_n), dtype=jnp.uint32)
-        l_ev = jnp.stack(
-            [jnp.stack(coset_of([f"adv{lk_base + i}" for i in cols]),
-                       axis=1)
-             for _, _, cols in lk_full] + [zero_grp] * ngpad, axis=1)
+        l_ev = coset_stack(
+            [f"adv{lk_base + i}" for _, _, cols in lk_full for i in cols],
+            width=(len(lk_full) + ngpad) * LOOKUP_GROUP,
+            reshape=(L, len(lk_full) + ngpad, LOOKUP_GROUP, ext_n))
         acc = batched_acc(
             acc, _j_lookup_h_terms_batch, _lookup_h_terms_partial, (),
             enc_ws([ti for ti, _, _ in lk_full], len(lk_full) + ngpad),
             [h_ev, l_ev], [qact_ev, beta_lm])
     for ti, g, cols in lk_ragged:
-        lstack = jnp.stack([polys[f"adv{lk_base + i}"] for i in cols], axis=1)
+        lstack = polys.gather([f"adv{lk_base + i}" for i in cols])
         acc = _j_lookup_h_term(dom_ext, acc, y_weight(ti),
                                polys[f"lookup_h{g}"], lstack, fco("q_act"),
                                cpow, beta_lm)
@@ -1160,17 +1266,16 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
                if min((j + 1) * PERM_CHUNK, P) - j * PERM_CHUNK == PERM_CHUNK]
     pc_ragged = [(ti, j) for ti, j in by_kind.get("perm_chunk", [])
                  if (ti, j) not in pc_full]
-    zero_grp_p = jnp.zeros((L, PERM_CHUNK, ext_n), dtype=jnp.uint32)
     for s in range(0, len(pc_full), PERMJ):
         grp = pc_full[s:s + PERMJ]
         npad = PERMJ - len(grp)
 
         def chunk_ev(name_fn):
-            rows = [jnp.stack(
-                coset_of([name_fn(i) for i in range(j * PERM_CHUNK,
-                                                    (j + 1) * PERM_CHUNK)]),
-                axis=1) for _, j in grp]
-            return jnp.stack(rows + [zero_grp_p] * npad, axis=1)
+            return coset_stack(
+                [name_fn(i) for _, j in grp
+                 for i in range(j * PERM_CHUNK, (j + 1) * PERM_CHUNK)],
+                width=(len(grp) + npad) * PERM_CHUNK,
+                reshape=(L, len(grp) + npad, PERM_CHUNK, ext_n))
 
         z_ev = ev_stack([f"perm_z{j}" for _, j in grp], PERMJ)
         v_ev = chunk_ev(perm_col_name)
@@ -1188,8 +1293,8 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         idxs = list(range(j * PERM_CHUNK, min((j + 1) * PERM_CHUNK, P)))
         acc = _j_perm_chunk_term(
             dom_ext, acc, y_weight(ti), polys[f"perm_z{j}"],
-            jnp.stack([polys[perm_col_name(i)] for i in idxs], axis=1),
-            jnp.stack([polys[f"sigma{i}"] for i in idxs], axis=1),
+            polys.gather([perm_col_name(i) for i in idxs]),
+            polys.gather([f"sigma{i}" for i in idxs]),
             fco("q_act"), cpow, xcoset, dpow[:, idxs[0]:idxs[-1] + 1],
             beta_pm, gamma_pm)
 
@@ -1235,7 +1340,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         else:
             raise AssertionError(kind)
 
-    cos_cache.clear()  # free ~5 MB x #polys of coset residency
+    cos_ref.clear()  # free ~5 MB x #polys of coset residency
     yield  # quotient term batches dispatched
     jax.block_until_ready(acc)
     if os.environ.get("ZKFHE_QUOT_PROFILE"):
@@ -1307,7 +1412,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
     pending_evs = []  # dispatch every chunk, decode after the yield
     for s in range(0, len(names_all), EV_CHUNK):
         chunk = names_all[s:s + EV_CHUNK]
-        stack = jnp.stack([polys[nm] for nm in chunk], axis=1)
+        stack = polys.gather(chunk)
         pending_evs.append(MX.mat_mul_mont(FR, stack, xmat))
         del stack
     yield  # evaluation batches dispatched
@@ -1377,7 +1482,7 @@ def _prove_gen(pk: ProvingKey, srs: SRS, circuit_fn, inputs,
         comb = None
         for s in range(0, len(names), CB):
             chunk = names[s:s + CB]
-            stack = jnp.stack([polys[nm] for nm in chunk], axis=1)
+            stack = polys.gather(chunk)
             part = _j_combine(stack, vpows_dev[:, s:s + len(chunk)])
             del stack
             comb = part if comb is None else _j_acc_add(comb, part)
