@@ -22,7 +22,10 @@ tier="${1:-all}"
 rc=0
 
 if [ "$tier" = fast ] || [ "$tier" = all ]; then
+    t0=$(date +%s)
     python -m pytest tests/ -x -q -m "not e2e and not slow" || rc=1
+    echo "[run_tests] fast tier wall time: $(( $(date +%s) - t0 ))s" \
+         "(target <=300s on an idle 4-vCPU host)"
 fi
 if [ "$tier" = e2e ] || [ "$tier" = all ]; then
     # derive the file list so a future e2e/slow-marked file cannot be
