@@ -34,7 +34,12 @@ def main():
     # v5e out of HBM by 4.7 MB): skip the static coset cache by default
     os.environ.setdefault("ZKFHE_STATIC_COSET_MB", "0")
     # c=4 table (1.4 GB packed) — k=15 residency is the binding constraint
-    os.environ.setdefault("ZKFHE_TAB_MB", "1600")
+    os.environ.setdefault("ZKFHE_TAB_MB", "1200")
+    # cap per-prove coset residency well below the 16 GB HBM: the ref-
+    # based cache pins whole 16-wide launch stacks (336 MB each at
+    # ext_n=262144), and the default 6 GB cap OOM'd by a hair on the
+    # first round-5 attempt (2026-08-20)
+    os.environ.setdefault("ZKFHE_COSET_CACHE_MB", "3500")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/zkfhe_jax"))
